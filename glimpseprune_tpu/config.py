@@ -253,7 +253,7 @@ def tiny_test_config(**gp_kwargs) -> ModelConfig:
             num_hidden_layers=4,
             num_attention_heads=4,
             num_key_value_heads=2,
-            mrope_section=(4, 6, 6),
+            mrope_section=(2, 3, 3),
         ),
         gp=GPConfig(
             selected_layers=(1,),

@@ -1,0 +1,102 @@
+"""Attention primitives: segment (block-diagonal) and causal GQA attention.
+
+XLA-einsum reference paths with fp32 softmax; the Pallas flash/splash kernels
+in ops/pallas/ plug in behind the same signatures for large shapes. Block-
+diagonal masks are encoded as per-position segment ids (attend iff equal and
+nonnegative) — the TPU-friendly encoding of the reference's cu_seqlens loops
+(reference model_gp.py:140-142 builds the boolean mask with a Python loop).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _softmax_attend(
+    q: jnp.ndarray,  # [B, Hq, S, D]
+    k: jnp.ndarray,  # [B, Hq, T, D]
+    v: jnp.ndarray,  # [B, Hq, T, D]
+    allowed: jnp.ndarray,  # [B, 1|Hq, S, T] bool
+) -> jnp.ndarray:
+    scale = 1.0 / jnp.sqrt(q.shape[-1]).astype(jnp.float32)
+    logits = jnp.einsum("bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    logits = jnp.where(allowed, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhst,bhtd->bhsd", probs.astype(v.dtype), v)
+    return out
+
+
+def _expand_kv(k: jnp.ndarray, num_q_heads: int) -> jnp.ndarray:
+    """[B, T, Hkv, D] -> [B, Hq, T, D] by repeating each kv head."""
+    b, t, hkv, d = k.shape
+    groups = num_q_heads // hkv
+    k = jnp.repeat(k, groups, axis=2)
+    return k.transpose(0, 2, 1, 3)
+
+
+def segment_attention(
+    q: jnp.ndarray,  # [S, H, D]   (packed sequence, no batch)
+    k: jnp.ndarray,  # [S, H, D]
+    v: jnp.ndarray,  # [S, H, D]
+    segment_ids: jnp.ndarray,  # [S] int; attend iff equal; <0 = padding
+) -> jnp.ndarray:
+    """Bidirectional block-diagonal attention for the packed ViT sequence."""
+    allowed = (segment_ids[:, None] == segment_ids[None, :]) & (segment_ids >= 0)[:, None]
+    # padding rows attend to themselves only to keep softmax well-defined
+    eye = jnp.eye(q.shape[0], dtype=bool)
+    allowed = allowed | eye
+    qb = q.transpose(1, 0, 2)[None]  # [1, H, S, D]
+    kb = k.transpose(1, 0, 2)[None]
+    vb = v.transpose(1, 0, 2)[None]
+    out = _softmax_attend(qb, kb, vb, allowed[None, None])
+    return out[0].transpose(1, 0, 2)
+
+
+def causal_segment_attention(
+    q: jnp.ndarray,  # [B, S, Hq, D]
+    k: jnp.ndarray,  # [B, S, Hkv, D]
+    v: jnp.ndarray,  # [B, S, Hkv, D]
+    valid: jnp.ndarray,  # [B, S] bool (padding mask)
+) -> jnp.ndarray:
+    """Causal GQA self-attention over a (possibly left-padded) batch."""
+    b, s, hq, d = q.shape
+    causal = jnp.tril(jnp.ones((s, s), dtype=bool))
+    allowed = causal[None] & valid[:, None, :]  # [B, S, T]
+    qb = q.transpose(0, 2, 1, 3)
+    kb = _expand_kv(k, hq)
+    vb = _expand_kv(v, hq)
+    out = _softmax_attend(qb, kb, vb, allowed[:, None])
+    return out.transpose(0, 2, 1, 3)
+
+
+def decode_attention(
+    q: jnp.ndarray,  # [B, S_new, Hq, D]
+    k_cache: jnp.ndarray,  # [B, T, Hkv, D]
+    v_cache: jnp.ndarray,  # [B, T, Hkv, D]
+    kv_valid: jnp.ndarray,  # [B, T] bool
+) -> jnp.ndarray:
+    """Attention of new queries over a cached (compacted) KV prefix.
+
+    New queries are assumed to come causally *after* everything valid in the
+    cache; if S_new > 1, the last S_new cache slots are the new tokens and
+    causal ordering among them is enforced.
+    """
+    b, s_new, hq, d = q.shape
+    t = k_cache.shape[1]
+    allowed = kv_valid[:, None, :]  # [B, 1, T]
+    if s_new > 1:
+        # positions t - s_new + i may attend up to t - s_new + i
+        offs = t - s_new + jnp.arange(s_new)
+        causal = jnp.arange(t)[None, :] <= offs[:, None]  # [S_new, T]
+        allowed = allowed & causal[None]
+    qb = q.transpose(0, 2, 1, 3)
+    kb = _expand_kv(k_cache, hq)
+    vb = _expand_kv(v_cache, hq)
+    out = _softmax_attend(qb, kb, vb, allowed[:, None])
+    return out.transpose(0, 2, 1, 3)

@@ -151,7 +151,7 @@ def test_get_rope_index_matches_hf():
         video_token_id=501,
         vision_start_token_id=498,
         vision_end_token_id=499,
-        rope_scaling={"type": "mrope", "mrope_section": [4, 6, 6]},
+        rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]},
     )
     model = Qwen2_5_VLForConditionalGeneration(cfg)
 
