@@ -1,0 +1,268 @@
+"""Visual-token importance predictor ("VIP" / AttnFuser family).
+
+Flax re-design of the reference fusers (transformers_gp/models/qwen2_5_vl/
+model_gp.py:104-371): tiny transformer heads that fuse the glimpse token's
+per-layer/per-head attention rows — conditioned on intermediate ViT features
+(V1) or not (V2) — into per-visual-token keep/drop logits.
+
+Layout change vs reference: the reference runs the fuser over the packed
+(batch-concatenated) token sequence with cu_seqlens loops; we run a batched
+[B, N, ...] layout with per-row segment ids and validity masks — every row is
+one image padded to N slots, so shapes are static and the attention maps onto
+the MXU as one batched matmul. Window permutation/unpermutation happens via
+host-precomputed per-row index arrays (FuserGeometry).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glimpseprune_tpu.config import GPConfig, ModelConfig
+from glimpseprune_tpu.models.layers import ACT2FN, GatedMLP, RMSNorm
+from glimpseprune_tpu.ops.rope import apply_rotary, vision_rope_cos_sin
+from glimpseprune_tpu.registry import Registry
+
+ATTN_FUSERS: Registry = Registry("AttnFuser")
+
+
+@dataclass
+class FuserGeometry:
+    """Host-precomputed per-row (single image per row) fuser geometry.
+
+    All arrays [B, N] (N = padded merged-token slots per row):
+      window_index:  natural -> window order permutation within the row
+      reverse_index: inverse permutation
+      segment_ids:   attention blocks in *window order* (window or global,
+                     chosen by attn_fuse_global at build time); -1 = padding
+      pos_ids:       [B, N, 2] RoPE (h, w) ids in *window order*
+      valid:         real-token mask in *natural order*
+    """
+
+    window_index: np.ndarray
+    reverse_index: np.ndarray
+    segment_ids: np.ndarray
+    pos_ids: np.ndarray
+    valid: np.ndarray
+
+
+def build_fuser_geometry(
+    grid_hw_list,  # list of (h_merged, w_merged) per row; h*w <= n_slots
+    n_slots: int,
+    window_size: int,
+    spatial_merge_size: int,
+    patch_size: int,
+    attn_fuse_global: bool,
+) -> FuserGeometry:
+    """Per-row single-image geometry for the batched fuser."""
+    from glimpseprune_tpu.preprocessing.geometry import (
+        get_window_index,
+        segment_ids_from_cu_seqlens,
+        vision_pos_ids,
+    )
+
+    B = len(grid_hw_list)
+    mu = spatial_merge_size * spatial_merge_size
+    win_idx = np.zeros((B, n_slots), dtype=np.int32)
+    rev_idx = np.zeros((B, n_slots), dtype=np.int32)
+    segs = np.full((B, n_slots), -1, dtype=np.int32)
+    pos = np.zeros((B, n_slots, 2), dtype=np.int32)
+    valid = np.zeros((B, n_slots), dtype=bool)
+    for b, (h, w) in enumerate(grid_hw_list):
+        n = int(h) * int(w)
+        grid = np.array([[1, h * spatial_merge_size, w * spatial_merge_size]])
+        widx, cu_win = get_window_index(grid, window_size, spatial_merge_size, patch_size)
+        if attn_fuse_global:
+            seg_merged = np.zeros(n, dtype=np.int32)
+        else:
+            # cu_window_seqlens are patch-level; /mu gives merged-token level
+            seg_merged = segment_ids_from_cu_seqlens(cu_win // mu, n)
+        p_nat = vision_pos_ids(grid, spatial_merge_size)  # patch-level, merge order
+        # merged-token positions = first patch of each merge group // merge size
+        p_merged = p_nat.reshape(n, mu, 2)[:, 0] // spatial_merge_size
+        win_idx[b, :n] = widx
+        rev_idx[b, :n] = np.argsort(widx)
+        segs[b, :n] = seg_merged
+        pos[b, :n] = p_merged[widx]
+        valid[b, :n] = True
+        # padding slots permute to themselves (identity beyond n)
+        if n < n_slots:
+            win_idx[b, n:] = np.arange(n, n_slots)
+            rev_idx[b, n:] = np.arange(n, n_slots)
+    return FuserGeometry(win_idx, rev_idx, segs, pos, valid)
+
+
+def _permute(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """x [B, N, ...] permuted along axis 1 by per-row idx [B, N]."""
+    extra = x.ndim - 2
+    idxe = idx.reshape(idx.shape + (1,) * extra)
+    return jnp.take_along_axis(x, jnp.broadcast_to(idxe, idx.shape + x.shape[2:]), axis=1)
+
+
+def _normalized_mean_attention(
+    attn_map: jnp.ndarray,  # [B, N, n_layers*n_heads]
+    valid: jnp.ndarray,  # [B, N]
+    use_attention_logits: bool,
+) -> jnp.ndarray:
+    """Training-free importance: per-image min-max-normalized mean attention
+    (reference AttnFuserDummy / ori_attn_supervision, model_gp.py:188-208)."""
+    m = attn_map.astype(jnp.float32).mean(axis=-1)  # [B, N]
+    if use_attention_logits:
+        m = jnp.where(valid, m, -jnp.inf)
+        m = jax.nn.softmax(m, axis=-1)
+    else:
+        m = jnp.exp(m)  # rows are log-probs
+    m = jnp.where(valid, m, jnp.nan)
+    mmin = jnp.nanmin(m, axis=-1, keepdims=True)
+    mmax = jnp.nanmax(m, axis=-1, keepdims=True)
+    out = (m - mmin) / (mmax - mmin + 1e-6)
+    return jnp.where(valid, out, 0.0)
+
+
+class CondSdpaAttention(nn.Module):
+    """Q/K from concat(features, condition), V from features only
+    (reference model_gp.py:116-154)."""
+
+    hidden_size: int
+    cond_size: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cond, segment_ids, cos, sin, valid):
+        b, n, _ = x.shape
+        qk_size = self.hidden_size + self.cond_size
+        qk_in = x if cond is None else jnp.concatenate([x, cond], axis=-1)
+        q = nn.Dense(qk_size, use_bias=False, dtype=self.dtype, name="q_proj")(qk_in)
+        k = nn.Dense(qk_size, use_bias=False, dtype=self.dtype, name="k_proj")(qk_in)
+        v = nn.Dense(self.hidden_size, use_bias=False, dtype=self.dtype, name="v_proj")(x)
+        q = q.reshape(b, n, self.num_heads, -1)
+        k = k.reshape(b, n, self.num_heads, -1)
+        v = v.reshape(b, n, self.num_heads, -1)
+        q = apply_rotary(q, cos, sin)
+        k = apply_rotary(k, cos, sin)
+
+        allowed = (segment_ids[:, :, None] == segment_ids[:, None, :]) & (
+            segment_ids >= 0
+        )[:, :, None]
+        allowed = allowed | jnp.eye(n, dtype=bool)[None]
+        scale = 1.0 / jnp.sqrt(jnp.float32(q.shape[-1]))
+        logits = jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32) * scale
+        logits = jnp.where(allowed[:, None], logits, -1e30)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhst,bthd->bshd", probs, v).reshape(b, n, self.hidden_size)
+        return nn.Dense(self.hidden_size, use_bias=False, dtype=self.dtype, name="o_proj")(out)
+
+
+class AttnFuserLayer(nn.Module):
+    hidden_size: int
+    cond_size: int
+    num_heads: int
+    hidden_act: str = "silu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cond, segment_ids, cos, sin, valid):
+        h = x + CondSdpaAttention(
+            self.hidden_size, self.cond_size, self.num_heads, dtype=self.dtype, name="attn"
+        )(RMSNorm(self.hidden_size, 1e-6, name="norm1")(x), cond, segment_ids, cos, sin, valid)
+        h = h + GatedMLP(
+            self.hidden_size, self.hidden_size * 2, self.hidden_act, use_bias=True,
+            dtype=self.dtype, name="mlp",
+        )(RMSNorm(self.hidden_size, 1e-6, name="norm2")(h))
+        return h
+
+
+class BaseAttnFuser(nn.Module):
+    cfg: ModelConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def gp(self) -> GPConfig:
+        return self.cfg.gp
+
+
+@ATTN_FUSERS.register()
+class AttnFuserDummy(BaseAttnFuser):
+    """Training-free predictor: normalized mean attention as logits."""
+
+    @nn.compact
+    def __call__(self, attn_map, taps, geom_window_index, geom_reverse_index,
+                 geom_segment_ids, geom_pos_ids, valid, training=False):
+        out = _normalized_mean_attention(attn_map, valid, self.gp.use_attention_logits)
+        return out[None]  # [1, B, N]
+
+
+@ATTN_FUSERS.register()
+class AttnFuserV1(BaseAttnFuser):
+    """Conditioned fuser: one AttnFuserLayer per selected ViT tap layer.
+
+    Inputs (natural order unless noted):
+      attn_map [B, N, n_sel_layers*n_heads]  harvested glimpse rows
+      taps     list of [B, N, vit_hidden]    ViT features (natural order)
+      geometry arrays from FuserGeometry
+    Returns logits [n_out, B, N] (natural order); last row is the decision
+    map, earlier rows are deep-supervision/ori-attn outputs.
+    """
+
+    with_condition: bool = True
+
+    @nn.compact
+    def __call__(self, attn_map, taps, geom_window_index, geom_reverse_index,
+                 geom_segment_ids, geom_pos_ids, valid, training=False):
+        gp = self.gp
+        n_fuser_layers = len(gp.selected_visual_layers)
+        cond_size = gp.visual_cond_size if (self.with_condition and n_fuser_layers > 0) else 0
+        heads = gp.attn_fuse_num_heads
+        qk_head_dim = (gp.attn_fuse_size + cond_size) // heads
+
+        outs: List[jnp.ndarray] = []
+        if gp.ori_attn_supervision and not training:
+            outs.append(
+                _normalized_mean_attention(attn_map, valid, gp.use_attention_logits)
+            )
+
+        x = nn.Dense(gp.attn_fuse_size, use_bias=True, dtype=self.dtype, name="attn_in_proj")(
+            attn_map.astype(self.dtype)
+        )
+        x = _permute(x, geom_window_index)
+        valid_win = _permute(valid, geom_window_index)
+
+        b, n, _ = x.shape
+        cos, sin = vision_rope_cos_sin(geom_pos_ids.reshape(-1, 2), qk_head_dim)
+        cos = cos.reshape(b, n, qk_head_dim).astype(self.dtype)
+        sin = sin.reshape(b, n, qk_head_dim).astype(self.dtype)
+
+        for i in range(n_fuser_layers):
+            cond = None
+            if self.with_condition:
+                cond = nn.Dense(
+                    cond_size, use_bias=True, dtype=self.dtype, name=f"cond_in_projs_{i}"
+                )(_permute(taps[i].astype(self.dtype), geom_window_index))
+            x = AttnFuserLayer(
+                gp.attn_fuse_size, cond_size, heads, gp.attn_fuse_hidden_act,
+                dtype=self.dtype, name=f"layers_{i}",
+            )(x, cond, geom_segment_ids, cos, sin, valid_win)
+            last = i == n_fuser_layers - 1
+            if (training or last) and (gp.deep_supervision or last):
+                logit = nn.Dense(1, use_bias=True, dtype=self.dtype, name=f"attn_out_projs_{i}")(x)
+                logit = _permute(logit[..., 0], geom_reverse_index)
+                outs.append(logit.astype(jnp.float32))
+        return jnp.stack(outs, axis=0)  # [n_out, B, N]
+
+
+@ATTN_FUSERS.register()
+class AttnFuserV2(AttnFuserV1):
+    """V1 without visual conditioning (reference model_gp.py:301-371)."""
+
+    with_condition: bool = False
+
+
+def make_fuser(cfg: ModelConfig, dtype=jnp.float32) -> BaseAttnFuser:
+    cls = ATTN_FUSERS.get(cfg.gp.attn_fuse_type)
+    return cls(cfg, dtype=dtype)

@@ -1,0 +1,403 @@
+"""Qwen2.5-VL + GlimpsePrune: the full TPU-native pruned-prefill model.
+
+Orchestrates (reference call stack SURVEY.md §3.1, model_gp.py:1210-1742):
+  vision_encode -> glimpse_encode (partial prefill + harvest + fuser)
+  -> reduce_and_resume (keep policy + fixed-budget compaction + remaining
+  layers) -> decode over the compacted KV cache.
+
+TPU re-design highlights vs the reference:
+- the glimpse token ("learnable embeddings") occupies host-reserved
+  placeholder slots, so layer-0 splice = embedding overwrite and the
+  post-glimpse trim folds into the same fixed-budget gather that prunes
+  image tokens (reference gather-splices and crops the KV separately,
+  model_gp.py:1121-1190, :1400-1411)
+- all shapes static: prune = top-k ranks + one gather (ops/keep_policy,
+  ops/compaction) instead of boolean indexing with data-dependent lengths
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from glimpseprune_tpu.config import ModelConfig
+from glimpseprune_tpu.gp.fuser import make_fuser
+from glimpseprune_tpu.models.layers import RMSNorm
+from glimpseprune_tpu.models.qwen2_5_vl.language import TextDecoder
+from glimpseprune_tpu.models.qwen2_5_vl.vision import VisionTransformer
+from glimpseprune_tpu.ops.compaction import (
+    compaction_indices,
+    gather_kv,
+    gather_positions,
+    gather_tokens,
+)
+from glimpseprune_tpu.ops.keep_policy import keep_scores_with_policy
+from glimpseprune_tpu.ops.rope import mrope_cos_sin
+
+
+class GlimpseState(NamedTuple):
+    """Everything needed to apply a (possibly delayed) selection."""
+
+    input_ids: jnp.ndarray       # [B, S]
+    hidden: jnp.ndarray          # [B, S, H] at reduce_layer
+    kv_k: jnp.ndarray            # [n_red, B, S, Hkv, D]
+    kv_v: jnp.ndarray
+    valid: jnp.ndarray           # [B, S]
+    position_ids: jnp.ndarray    # [3, B, S]
+    keep_base: jnp.ndarray       # [B, S] text-keep mask (valid minus le slots)
+    img_slots: jnp.ndarray       # [B, N]
+    img_valid: jnp.ndarray       # [B, N]
+
+
+class GlimpseOutputs(NamedTuple):
+    logits: jnp.ndarray              # [B, R, V]
+    input_ids: jnp.ndarray           # [B, R]
+    valid: jnp.ndarray               # [B, R]
+    position_ids: jnp.ndarray        # [3, B, R]
+    kv_k: jnp.ndarray                # [L, B, R, Hkv, D]
+    kv_v: jnp.ndarray
+    mask_logits: jnp.ndarray         # [n_out, B, N]
+    keep_img: jnp.ndarray            # [B, N]
+    le_loss: Optional[jnp.ndarray]
+
+
+def _scatter_rows(dest: jnp.ndarray, slots: jnp.ndarray, src: jnp.ndarray,
+                  slot_valid: jnp.ndarray) -> jnp.ndarray:
+    """dest [B, S, ...] <- src [B, N, ...] at positions slots [B, N] where
+    slot_valid; invalid slots leave dest untouched."""
+    bidx = jnp.arange(dest.shape[0])[:, None]
+    cur = dest[bidx, slots]
+    extra = dest.ndim - 2
+    sv = slot_valid.reshape(slot_valid.shape + (1,) * extra)
+    upd = jnp.where(sv, src.astype(dest.dtype), cur)
+    return dest.at[bidx, slots].set(upd)
+
+
+def _gather_rows(src: jnp.ndarray, slots: jnp.ndarray, slot_valid: jnp.ndarray,
+                 fill=0) -> jnp.ndarray:
+    """src [B, S, ...] -> [B, N, ...] at positions slots; invalid -> fill."""
+    bidx = jnp.arange(src.shape[0])[:, None]
+    out = src[bidx, slots]
+    extra = src.ndim - 2
+    sv = slot_valid.reshape(slot_valid.shape + (1,) * extra)
+    return jnp.where(sv, out, jnp.asarray(fill, dtype=src.dtype))
+
+
+class Qwen2_5_VL_GP(nn.Module):
+    """Flax module tree: visual tower + text decoder + GP new-modules."""
+
+    cfg: ModelConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.visual = VisionTransformer(
+            c.vision, tap_layers=tuple(c.gp.selected_visual_layers), dtype=self.dtype
+        )
+        self.text = TextDecoder(c.text, dtype=self.dtype)
+        self.attn_fuser = make_fuser(c, dtype=self.dtype)
+        if c.gp.has_le:
+            self.learnable_embeddings = self.param(
+                "learnable_embeddings",
+                nn.initializers.normal(stddev=0.02),
+                (len(c.gp.le_layers), c.gp.le_length, c.text.hidden_size),
+                jnp.float32,
+            )
+            self.le_proj = nn.Dense(c.text.hidden_size, dtype=self.dtype)
+            if c.gp.le_norm_type == "rmsnorm":
+                self.le_norm = RMSNorm(c.text.hidden_size, c.text.rms_norm_eps)
+            elif c.gp.le_norm_type == "layernorm":
+                self.le_norm = nn.LayerNorm(dtype=self.dtype)
+            else:
+                raise ValueError(f"Unsupported le_norm_type {c.gp.le_norm_type!r}")
+            self.le_dropout = nn.Dropout(rate=c.gp.le_dropout_prob)
+
+    # ------------------------------------------------------------------ #
+    # vision
+
+    def vision_encode(self, patches, pos_ids, full_seg, win_seg):
+        """Packed window-ordered patches -> (merged embeds, taps), window order."""
+        return self.visual(patches, pos_ids, full_seg, win_seg)
+
+    # ------------------------------------------------------------------ #
+    # le helpers
+
+    def _le_vector(self, layer_id: int, training: bool) -> jnp.ndarray:
+        """Projected glimpse embedding for a given depth -> [le_len, H]."""
+        idx = self.cfg.gp.le_layers.index(layer_id)
+        le = self.learnable_embeddings[idx].astype(self.dtype)
+        le = self.le_dropout(self.le_norm(self.le_proj(le)), deterministic=not training)
+        return le
+
+    def _write_le(self, x: jnp.ndarray, le: jnp.ndarray, le_start: jnp.ndarray,
+                  add: bool) -> jnp.ndarray:
+        """Place (or residually add) le [le_len, H] at per-row offsets."""
+        def per_row(row, start):
+            if add:
+                patch = jax.lax.dynamic_slice_in_dim(row, start, le.shape[0], axis=0)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    row, patch + le.astype(row.dtype), start, axis=0
+                )
+            return jax.lax.dynamic_update_slice_in_dim(
+                row, le.astype(row.dtype), start, axis=0
+            )
+
+        return jax.vmap(per_row)(x, le_start)
+
+    # ------------------------------------------------------------------ #
+    # glimpse prefill, phase 1: encode + predict mask logits
+
+    def glimpse_encode(
+        self,
+        input_ids: jnp.ndarray,       # [B, S] le placeholder slots included
+        valid: jnp.ndarray,           # [B, S]
+        position_ids: jnp.ndarray,    # [3, B, S]
+        image_embeds: jnp.ndarray,    # [Pm, H] packed, window order
+        taps: jnp.ndarray,            # [n_taps, Pm, vit_hidden] window order
+        packed_idx: jnp.ndarray,      # [B, N] row slot -> packed row (window->natural map folded in host-side)
+        img_slots: jnp.ndarray,       # [B, N] sequence positions of image tokens
+        img_valid: jnp.ndarray,       # [B, N]
+        fuser_window_index: jnp.ndarray,
+        fuser_reverse_index: jnp.ndarray,
+        fuser_segment_ids: jnp.ndarray,
+        fuser_pos_ids: jnp.ndarray,
+        le_start: Optional[jnp.ndarray],  # [B] or None
+        labels: Optional[jnp.ndarray] = None,
+        ref_token_masks: Optional[jnp.ndarray] = None,  # [B, N] bool
+        use_ref_masks: bool = False,
+        training: bool = False,
+    ) -> Tuple[jnp.ndarray, GlimpseState, Optional[jnp.ndarray]]:
+        c = self.cfg
+        gp = c.gp
+        B, S = input_ids.shape
+
+        embeds = self.text.embed(input_ids)
+        img_embeds_rows = _gather_rows(
+            jnp.broadcast_to(image_embeds[None], (B,) + image_embeds.shape),
+            packed_idx, img_valid,
+        )
+        embeds = _scatter_rows(embeds, img_slots, img_embeds_rows, img_valid)
+
+        inject_le = gp.has_le and not use_ref_masks and le_start is not None
+        le_mask = jnp.zeros((B, S), dtype=bool)
+        if inject_le:
+            le = self._le_vector(0, training) if 0 in gp.le_layers else None
+            if le is not None:
+                embeds = self._write_le(embeds, le, le_start, add=False)
+            pos = jnp.arange(S)[None]
+            le_mask = (pos >= le_start[:, None]) & (pos < le_start[:, None] + gp.le_length)
+            q_index = le_start + gp.le_length - 1
+        else:
+            # no glimpse token: harvest from last valid position
+            q_index = jnp.full((B,), S - 1, dtype=jnp.int32)
+
+        cos, sin = mrope_cos_sin(
+            position_ids, c.text.head_dim, c.text.rope_theta, c.text.mrope_section
+        )
+        cos = cos.astype(self.dtype)
+        sin = sin.astype(self.dtype)
+
+        def pre_layer(layer_id, x):
+            if inject_le and layer_id > 0 and layer_id in gp.le_layers:
+                return self._write_le(
+                    x, self._le_vector(layer_id, training), le_start, add=True
+                )
+            return x
+
+        reduce_layer = min(gp.reduce_layer, c.text.num_hidden_layers - 1)
+        harvest_layers = tuple(gp.selected_layers) if not use_ref_masks else ()
+
+        x, (kv_k, kv_v), harvests = self.text.run_layers(
+            embeds, cos, sin, valid,
+            layer_start=0,
+            layer_end=reduce_layer,
+            pre_layer_fn=pre_layer,
+            harvest_layers=harvest_layers,
+            q_index=q_index,
+            use_attention_logits=gp.use_attention_logits,
+        )
+        hidden_at_reduce = x
+
+        le_loss = None
+        if labels is not None:
+            # training runs every layer for the LM loss (model_gp.py:1289-1290)
+            if reduce_layer < c.text.num_hidden_layers - 1:
+                x, _, _ = self.text.run_layers(
+                    x, cos, sin, valid,
+                    layer_start=reduce_layer + 1,
+                    pre_layer_fn=pre_layer,
+                    collect_kv=False,
+                )
+            x = self.text.final_norm(x)
+            logits = self.text.logits(x).astype(jnp.float32)
+            shift_logits = logits[:, :-1]
+            shift_labels = labels[:, 1:]
+            mask = shift_labels != -100
+            onehot = jax.nn.one_hot(jnp.where(mask, shift_labels, 0), logits.shape[-1])
+            logp = jax.nn.log_softmax(shift_logits, axis=-1)
+            nll = -(onehot * logp).sum(-1)
+            le_loss = (nll * mask).sum() / jnp.maximum(mask.sum(), 1)
+
+        # ---- predict mask logits
+        if use_ref_masks:
+            assert ref_token_masks is not None
+            mask_logits = jnp.where(ref_token_masks, jnp.inf, -jnp.inf)[None]
+        elif gp.use_zero_masks:
+            mask_logits = jnp.full((1, B, img_valid.shape[1]), -jnp.inf)
+        else:
+            rows = [harvests[l] for l in gp.selected_layers]  # [B, S, Hq] each
+            attn_map = jnp.stack(rows, axis=2)  # [B, S, n_sel, Hq]
+            attn_map = attn_map.reshape(B, S, -1)
+            attn_map = _gather_rows(attn_map, img_slots, img_valid)  # [B, N, n_sel*Hq]
+            taps_rows = [
+                _gather_rows(
+                    jnp.broadcast_to(taps[i][None], (B,) + taps[i].shape),
+                    packed_idx, img_valid,
+                )
+                for i in range(taps.shape[0])
+            ]
+            mask_logits = self.attn_fuser(
+                attn_map, taps_rows,
+                fuser_window_index, fuser_reverse_index,
+                fuser_segment_ids, fuser_pos_ids, img_valid,
+                training=training,
+            )
+
+        state = GlimpseState(
+            input_ids=input_ids,
+            hidden=hidden_at_reduce,
+            kv_k=kv_k,
+            kv_v=kv_v,
+            valid=valid,
+            position_ids=position_ids,
+            keep_base=valid & ~le_mask,
+            img_slots=img_slots,
+            img_valid=img_valid,
+        )
+        return mask_logits, state, le_loss
+
+    # ------------------------------------------------------------------ #
+    # phase 2: keep policy + compaction + remaining layers
+
+    def reduce_and_resume(
+        self,
+        state: GlimpseState,
+        mask_logits: jnp.ndarray,  # [n_out, B, N]
+        out_len: int,
+        anchor_mask: Optional[jnp.ndarray] = None,
+    ) -> GlimpseOutputs:
+        c = self.cfg
+        gp = c.gp
+        B, S = state.input_ids.shape
+
+        probs = jax.nn.sigmoid(mask_logits[-1].astype(jnp.float32))
+        keep_img = keep_scores_with_policy(
+            probs, state.img_valid,
+            gp.reduce_threshold, gp.max_remain_ratio, gp.min_remain_num,
+            anchor_mask,
+        )
+
+        keep = _scatter_rows(state.keep_base, state.img_slots, keep_img, state.img_valid)
+        plan = compaction_indices(keep, out_len)
+
+        r_ids = gather_tokens(state.input_ids, plan, fill=c.pad_token_id)
+        r_hidden = gather_tokens(state.hidden, plan)
+        r_pos = gather_positions(state.position_ids, plan)
+        r_valid = plan.valid
+        r_k = gather_kv(state.kv_k, plan)
+        r_v = gather_kv(state.kv_v, plan)
+
+        # ---- remaining layers over the compacted sequence
+        reduce_layer = min(gp.reduce_layer, c.text.num_hidden_layers - 1)
+        x = r_hidden
+        if reduce_layer < c.text.num_hidden_layers - 1:
+            cos, sin = mrope_cos_sin(
+                r_pos, c.text.head_dim, c.text.rope_theta, c.text.mrope_section
+            )
+            x, (k2, v2), _ = self.text.run_layers(
+                x, cos.astype(self.dtype), sin.astype(self.dtype), r_valid,
+                layer_start=reduce_layer + 1,
+            )
+            kv_k = jnp.concatenate([r_k, k2], axis=0)
+            kv_v = jnp.concatenate([r_v, v2], axis=0)
+        else:
+            kv_k, kv_v = r_k, r_v
+        x = self.text.final_norm(x)
+        logits = self.text.logits(x)
+
+        return GlimpseOutputs(
+            logits=logits,
+            input_ids=r_ids,
+            valid=r_valid,
+            position_ids=r_pos,
+            kv_k=kv_k,
+            kv_v=kv_v,
+            mask_logits=mask_logits,
+            keep_img=keep_img,
+            le_loss=None,
+        )
+
+    # ------------------------------------------------------------------ #
+    # one-shot pruned prefill (inference product path)
+
+    def glimpse_prefill(self, out_len: int, anchor_mask=None, **encode_kwargs) -> GlimpseOutputs:
+        mask_logits, state, le_loss = self.glimpse_encode(**encode_kwargs)
+        out = self.reduce_and_resume(state, mask_logits, out_len, anchor_mask)
+        return out._replace(le_loss=le_loss)
+
+    # ------------------------------------------------------------------ #
+    # vanilla paths (do_selection=False must reproduce the plain model)
+
+    def vanilla_prefill(self, input_ids, valid, position_ids,
+                        image_embeds=None, packed_idx=None, img_slots=None,
+                        img_valid=None):
+        c = self.cfg
+        embeds = self.text.embed(input_ids)
+        if image_embeds is not None:
+            B = input_ids.shape[0]
+            rows = _gather_rows(
+                jnp.broadcast_to(image_embeds[None], (B,) + image_embeds.shape),
+                packed_idx, img_valid,
+            )
+            embeds = _scatter_rows(embeds, img_slots, rows, img_valid)
+        cos, sin = mrope_cos_sin(
+            position_ids, c.text.head_dim, c.text.rope_theta, c.text.mrope_section
+        )
+        x, (kv_k, kv_v), _ = self.text.run_layers(
+            embeds, cos.astype(self.dtype), sin.astype(self.dtype), valid
+        )
+        x = self.text.final_norm(x)
+        return self.text.logits(x), kv_k, kv_v
+
+    def decode_step(self, input_ids, position_ids, k_cache, v_cache, kv_valid, write_idx):
+        """input_ids [B, S_new], position_ids [3, B, S_new]."""
+        c = self.cfg
+        cos, sin = mrope_cos_sin(
+            position_ids, c.text.head_dim, c.text.rope_theta, c.text.mrope_section
+        )
+        return self.text.decode_step(
+            input_ids, cos.astype(self.dtype), sin.astype(self.dtype),
+            k_cache, v_cache, kv_valid, write_idx,
+        )
+
+    # init/traversal path: touch every submodule so linen materializes params
+    def __call__(self, input_ids, valid, position_ids, patches, vis_pos_ids,
+                 full_seg, win_seg, packed_idx, img_slots, img_valid,
+                 fuser_window_index, fuser_reverse_index, fuser_segment_ids,
+                 fuser_pos_ids, le_start, out_len: int):
+        merged, taps = self.vision_encode(patches, vis_pos_ids, full_seg, win_seg)
+        taps = jnp.stack([t for t in taps], axis=0) if taps else jnp.zeros((0,) + merged.shape)
+        return self.glimpse_prefill(
+            out_len,
+            input_ids=input_ids, valid=valid, position_ids=position_ids,
+            image_embeds=merged, taps=taps, packed_idx=packed_idx,
+            img_slots=img_slots, img_valid=img_valid,
+            fuser_window_index=fuser_window_index,
+            fuser_reverse_index=fuser_reverse_index,
+            fuser_segment_ids=fuser_segment_ids,
+            fuser_pos_ids=fuser_pos_ids,
+            le_start=le_start,
+        )

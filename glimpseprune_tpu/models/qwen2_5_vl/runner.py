@@ -1,0 +1,442 @@
+"""Host-side orchestration: input preparation + jitted phases + generate loop.
+
+The reference integrates with HF GenerationMixin via prepare_inputs /
+update_kwargs overrides (model_gp.py:2076-2196); here the generate loop is
+explicit: one jitted pruned prefill (static budget R), then jitted single-
+token decode steps over the compacted KV cache. All geometry (image token
+slots, packed indices, fuser geometry, mRoPE ids, budgets) is computed in
+numpy before launch, so every jitted function sees static shapes and compiles
+once per (S, P, R) bucket.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glimpseprune_tpu.config import ModelConfig
+from glimpseprune_tpu.gp.fuser import FuserGeometry, build_fuser_geometry
+from glimpseprune_tpu.models.qwen2_5_vl.gp_model import GlimpseOutputs, Qwen2_5_VL_GP
+from glimpseprune_tpu.preprocessing import build_vision_geometry, get_rope_index
+from glimpseprune_tpu.utils.profiling import time_logger
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class PreparedInputs:
+    """Everything the jitted model consumes, as numpy arrays."""
+
+    input_ids: np.ndarray          # [B, S]
+    valid: np.ndarray              # [B, S]
+    position_ids: np.ndarray       # [3, B, S]
+    patches: np.ndarray            # [P, in_dim] window order
+    vis_pos_ids: np.ndarray        # [P, 2]
+    full_seg: np.ndarray           # [P]
+    win_seg: np.ndarray            # [P]
+    packed_idx: np.ndarray         # [B, N]
+    img_slots: np.ndarray          # [B, N]
+    img_valid: np.ndarray          # [B, N]
+    fuser: FuserGeometry
+    le_start: Optional[np.ndarray]  # [B]
+    grids: np.ndarray              # [B, 3]
+    out_len: int
+    n_img_tokens: np.ndarray       # [B]
+    ref_token_masks: Optional[np.ndarray] = None  # [B, N]
+    anchor_mask: Optional[np.ndarray] = None      # [B, N]
+    labels: Optional[np.ndarray] = None           # [B, S]
+
+
+def prepare_inputs(
+    cfg: ModelConfig,
+    prompt_ids: Sequence[Sequence[int]],
+    images: Sequence[np.ndarray],
+    normed_bboxes: Optional[Sequence[Optional[Sequence[Sequence[float]]]]] = None,
+    answer_ids: Optional[Sequence[Sequence[int]]] = None,
+    min_pixels: Optional[int] = None,
+    max_pixels: Optional[int] = None,
+    seq_multiple: int = 64,
+    patch_multiple: int = 256,
+) -> PreparedInputs:
+    """Build statically-shaped model inputs for one batch.
+
+    prompt_ids: token id lists containing exactly one `cfg.image_token_id`
+    marker per image (un-expanded, reference processor semantics
+    process_gp.py:132-144). Images: HWC uint8 arrays, one per row.
+    answer_ids: training targets; when given, the glimpse slots are spliced
+    in front of the answer and labels are emitted.
+    """
+    from glimpseprune_tpu.preprocessing.image import (
+        DEFAULT_MAX_PIXELS,
+        DEFAULT_MIN_PIXELS,
+        preprocess_image,
+    )
+    from glimpseprune_tpu.preprocessing.ref_masks import ref_token_mask_from_bboxes
+
+    v = cfg.vision
+    mu = v.spatial_merge_unit
+    B = len(prompt_ids)
+    assert len(images) == B, "one image per row in this layout"
+
+    # ---- vision: patchify all images, pack
+    patch_list, grids = [], []
+    for img in images:
+        p, g = preprocess_image(
+            np.asarray(img),
+            patch_size=v.patch_size,
+            temporal_patch_size=v.temporal_patch_size,
+            merge_size=v.spatial_merge_size,
+            min_pixels=min_pixels or DEFAULT_MIN_PIXELS,
+            max_pixels=max_pixels or DEFAULT_MAX_PIXELS,
+        )
+        patch_list.append(p)
+        grids.append(g)
+    grids = np.array(grids)  # [B, 3]
+    patches_nat = np.concatenate(patch_list, axis=0)
+    n_patches = patches_nat.shape[0]
+    padded_p = _round_up(n_patches, max(patch_multiple, mu))
+    geo = build_vision_geometry(
+        grids, v.window_size, v.spatial_merge_size, v.patch_size, padded_len=padded_p
+    )
+    patch_perm = (
+        geo.window_index[: n_patches // mu, None] * mu + np.arange(mu)[None, :]
+    ).reshape(-1)
+    patches_win = np.zeros((padded_p, patches_nat.shape[1]), dtype=patches_nat.dtype)
+    patches_win[:n_patches] = patches_nat[patch_perm]
+
+    n_img = (grids[:, 0] * grids[:, 1] * grids[:, 2]) // mu  # merged tokens/row
+    N = int(n_img.max())
+
+    # packed_idx[b, j] = moff_b + rev_b[j]: natural slot j of row b -> packed
+    # window-ordered merged row (vision output order)
+    moffs = np.concatenate([[0], np.cumsum(n_img)[:-1]])
+    packed_idx = np.zeros((B, N), dtype=np.int32)
+
+    # ---- text: expand image markers, append/splice le slots, left-pad
+    gp = cfg.gp
+    le_len = gp.le_length if gp.has_le else 0
+    rows, label_rows, le_starts = [], [], []
+    for b, ids in enumerate(prompt_ids):
+        ids = list(ids)
+        assert ids.count(cfg.image_token_id) == 1, "exactly one image marker per row"
+        at = ids.index(cfg.image_token_id)
+        expanded = ids[:at] + [cfg.image_token_id] * int(n_img[b]) + ids[at + 1 :]
+        if answer_ids is not None:
+            ans = list(answer_ids[b])
+            row = expanded + [cfg.eos_token_id] * le_len + ans
+            lab = [-100] * (len(expanded) + le_len) + ans
+            le_starts.append(len(expanded))
+            label_rows.append(lab)
+        else:
+            row = expanded + [cfg.eos_token_id] * le_len
+            le_starts.append(len(expanded))
+        rows.append(row)
+
+    S = _round_up(max(len(r) for r in rows), seq_multiple)
+    input_ids = np.full((B, S), cfg.pad_token_id, dtype=np.int32)
+    valid = np.zeros((B, S), dtype=bool)
+    labels = None if answer_ids is None else np.full((B, S), -100, dtype=np.int32)
+    le_start_arr = np.zeros((B,), dtype=np.int32)
+    img_slots = np.zeros((B, N), dtype=np.int32)
+    img_valid = np.zeros((B, N), dtype=bool)
+    for b, row in enumerate(rows):
+        off = S - len(row)  # left padding
+        input_ids[b, off:] = row
+        valid[b, off:] = True
+        if labels is not None:
+            labels[b, off:] = label_rows[b]
+        le_start_arr[b] = off + le_starts[b]
+        pos = np.nonzero(input_ids[b] == cfg.image_token_id)[0]
+        img_slots[b, : len(pos)] = pos
+        img_valid[b, : len(pos)] = True
+
+    # per-row window permutation for packed_idx + fuser geometry
+    grid_hw = [(int(g[1]) // v.spatial_merge_size, int(g[2]) // v.spatial_merge_size) for g in grids]
+    fuser = build_fuser_geometry(
+        grid_hw, N, v.window_size, v.spatial_merge_size, v.patch_size,
+        gp.attn_fuse_global,
+    )
+    for b in range(B):
+        nb = int(n_img[b])
+        packed_idx[b, :nb] = moffs[b] + fuser.reverse_index[b, :nb]
+
+    # ---- position ids (le slots get sequential text positions, matching
+    # reference _append_le position arithmetic model_gp.py:1178-1185)
+    position_ids, _ = get_rope_index(
+        input_ids, grids, None, valid.astype(np.int64),
+        spatial_merge_size=v.spatial_merge_size,
+        image_token_id=cfg.image_token_id,
+        video_token_id=cfg.video_token_id,
+        vision_start_token_id=cfg.vision_start_token_id,
+    )
+
+    # ---- budgets -> static out_len
+    budgets = np.zeros((B,), dtype=np.int64)
+    for b in range(B):
+        nb = int(n_img[b])
+        if gp.max_remain_ratio is not None:
+            k = int(gp.max_remain_ratio * nb)
+            k = max(k, gp.min_remain_num or 0) + len(gp.anchor_positions)
+            budgets[b] = min(nb, k)
+        else:
+            budgets[b] = nb
+    n_text = valid.sum(1) - n_img - le_len
+    out_len = _round_up(int((n_text + budgets).max()), seq_multiple)
+
+    ref_masks = None
+    if normed_bboxes is not None:
+        ref_masks = np.zeros((B, N), dtype=bool)
+        for b, bxs in enumerate(normed_bboxes):
+            if bxs is None:
+                continue
+            h, w = grid_hw[b]
+            ref_masks[b, : h * w] = ref_token_mask_from_bboxes(bxs, (h, w)).reshape(-1)
+
+    anchor = None
+    if gp.anchor_positions:
+        anchor = np.zeros((B, N), dtype=bool)
+        for b in range(B):
+            h, w = grid_hw[b]
+            for a in gp.anchor_positions:
+                idx = {"tl": 0, "tr": w - 1, "bl": (h - 1) * w, "br": h * w - 1}[a]
+                anchor[b, idx] = True
+
+    return PreparedInputs(
+        input_ids=input_ids,
+        valid=valid,
+        position_ids=position_ids,
+        patches=patches_win,
+        vis_pos_ids=geo.pos_ids,
+        full_seg=geo.full_segment_ids,
+        win_seg=geo.window_segment_ids,
+        packed_idx=packed_idx,
+        img_slots=img_slots,
+        img_valid=img_valid,
+        fuser=fuser,
+        le_start=le_start_arr if gp.has_le else None,
+        grids=grids,
+        out_len=out_len,
+        n_img_tokens=n_img,
+        ref_token_masks=ref_masks,
+        anchor_mask=anchor,
+        labels=labels,
+    )
+
+
+@dataclass
+class GenerateResult:
+    sequences: np.ndarray            # [B, max_new] generated ids (pad after eos)
+    num_generated: np.ndarray        # [B]
+    keep_img: Optional[np.ndarray]   # [B, N]
+    mask_logits: Optional[np.ndarray]
+    prune_ratio: Optional[np.ndarray]  # [B] fraction of image tokens dropped
+
+
+class GlimpsePruneRunner:
+    """Owns params + jitted phase functions; the user-facing generate() API."""
+
+    def __init__(self, cfg: ModelConfig, params, dtype=jnp.float32, donate_cache: bool = True):
+        self.cfg = cfg.validate()
+        self.model = Qwen2_5_VL_GP(cfg, dtype=dtype)
+        self.params = params
+        self.dtype = dtype
+
+        self._vision = jax.jit(
+            lambda p, *a: self.model.apply(p, *a, method=self.model.vision_encode)
+        )
+        self._prefill = jax.jit(
+            functools.partial(self._prefill_impl),
+            static_argnames=("out_len", "use_ref_masks"),
+        )
+        self._vanilla = jax.jit(
+            lambda p, *a: self.model.apply(p, *a, method=self.model.vanilla_prefill)
+        )
+        self._decode = jax.jit(self._decode_impl, donate_argnums=(3, 4) if donate_cache else ())
+
+    # ---- jitted bodies -------------------------------------------------
+
+    def _prefill_impl(self, params, inputs: Dict[str, Any], out_len: int,
+                      use_ref_masks: bool):
+        merged, taps = self.model.apply(
+            params,
+            inputs["patches"], inputs["vis_pos_ids"], inputs["full_seg"], inputs["win_seg"],
+            method=self.model.vision_encode,
+        )
+        taps = (
+            jnp.stack(taps, axis=0)
+            if taps
+            else jnp.zeros((0,) + merged.shape, dtype=merged.dtype)
+        )
+
+        def run(m):
+            return m.glimpse_prefill(
+                out_len,
+                anchor_mask=inputs.get("anchor_mask"),
+                input_ids=inputs["input_ids"],
+                valid=inputs["valid"],
+                position_ids=inputs["position_ids"],
+                image_embeds=merged,
+                taps=taps,
+                packed_idx=inputs["packed_idx"],
+                img_slots=inputs["img_slots"],
+                img_valid=inputs["img_valid"],
+                fuser_window_index=inputs["fuser_window_index"],
+                fuser_reverse_index=inputs["fuser_reverse_index"],
+                fuser_segment_ids=inputs["fuser_segment_ids"],
+                fuser_pos_ids=inputs["fuser_pos_ids"],
+                le_start=inputs.get("le_start"),
+                labels=inputs.get("labels"),
+                ref_token_masks=inputs.get("ref_token_masks"),
+                use_ref_masks=use_ref_masks,
+            )
+
+        return self.model.apply(params, method=run)
+
+    def _decode_impl(self, params, token, position_ids, k_cache, v_cache, kv_valid, write_idx):
+        return self.model.apply(
+            params, token, position_ids, k_cache, v_cache, kv_valid, write_idx,
+            method=self.model.decode_step,
+        )
+
+    # ---- public API -----------------------------------------------------
+
+    def _device_inputs(self, prep: PreparedInputs, use_ref_masks: bool) -> Dict[str, Any]:
+        d = {
+            "input_ids": jnp.asarray(prep.input_ids),
+            "valid": jnp.asarray(prep.valid),
+            "position_ids": jnp.asarray(prep.position_ids),
+            "patches": jnp.asarray(prep.patches),
+            "vis_pos_ids": jnp.asarray(prep.vis_pos_ids),
+            "full_seg": jnp.asarray(prep.full_seg),
+            "win_seg": jnp.asarray(prep.win_seg),
+            "packed_idx": jnp.asarray(prep.packed_idx),
+            "img_slots": jnp.asarray(prep.img_slots),
+            "img_valid": jnp.asarray(prep.img_valid),
+            "fuser_window_index": jnp.asarray(prep.fuser.window_index),
+            "fuser_reverse_index": jnp.asarray(prep.fuser.reverse_index),
+            "fuser_segment_ids": jnp.asarray(prep.fuser.segment_ids),
+            "fuser_pos_ids": jnp.asarray(prep.fuser.pos_ids),
+        }
+        if prep.le_start is not None:
+            d["le_start"] = jnp.asarray(prep.le_start)
+        if prep.labels is not None:
+            d["labels"] = jnp.asarray(prep.labels)
+        if use_ref_masks:
+            assert prep.ref_token_masks is not None, "use_ref_masks needs bboxes"
+            d["ref_token_masks"] = jnp.asarray(prep.ref_token_masks)
+        if prep.anchor_mask is not None:
+            d["anchor_mask"] = jnp.asarray(prep.anchor_mask)
+        return d
+
+    @time_logger
+    def glimpse(self, prep: PreparedInputs, use_ref_masks: bool = False) -> GlimpseOutputs:
+        """Mask-only fast path (reference `do_glimpse`, SURVEY.md §3.2)."""
+        inputs = self._device_inputs(prep, use_ref_masks)
+        return self._prefill(
+            {"params": self.params}, inputs, out_len=prep.out_len,
+            use_ref_masks=use_ref_masks,
+        )
+
+    @time_logger
+    def generate(
+        self,
+        prep: PreparedInputs,
+        max_new_tokens: int = 128,
+        do_selection: bool = True,
+        use_ref_masks: bool = False,
+        eos_token_id: Optional[int] = None,
+        check_eos_every: int = 8,
+    ) -> GenerateResult:
+        cfg = self.cfg
+        eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
+        B = prep.input_ids.shape[0]
+
+        if do_selection:
+            out = self._prefill(
+                {"params": self.params},
+                self._device_inputs(prep, use_ref_masks),
+                out_len=prep.out_len, use_ref_masks=use_ref_masks,
+            )
+            logits, r_valid, r_pos = out.logits, out.valid, out.position_ids
+            kv_k, kv_v = out.kv_k, out.kv_v
+            keep_img = np.asarray(out.keep_img)
+            mask_logits = np.asarray(out.mask_logits)
+            prune_ratio = 1.0 - keep_img.sum(1) / np.maximum(prep.n_img_tokens, 1)
+        else:
+            # vanilla path must drop the le placeholder slots: rebuild without them
+            assert prep.le_start is not None or not cfg.gp.has_le
+            inputs = self._device_inputs(prep, False)
+            le_len = cfg.gp.le_length if cfg.gp.has_le else 0
+            if le_len:
+                # le slots are always the trailing slots in inference prep
+                for key in ("input_ids", "valid"):
+                    inputs[key] = inputs[key][:, :-le_len]
+                inputs["position_ids"] = inputs["position_ids"][:, :, :-le_len]
+            logits, kv_k, kv_v = self._vanilla(
+                {"params": self.params},
+                inputs["input_ids"], inputs["valid"], inputs["position_ids"],
+                None if prep.patches is None else self._vision(
+                    {"params": self.params},
+                    inputs["patches"], inputs["vis_pos_ids"],
+                    inputs["full_seg"], inputs["win_seg"],
+                )[0],
+                inputs["packed_idx"], inputs["img_slots"], inputs["img_valid"],
+            )
+            r_valid = inputs["valid"]
+            r_pos = inputs["position_ids"]
+            keep_img = mask_logits = None
+            prune_ratio = None
+
+        R = int(r_valid.shape[1])
+        T = R + max_new_tokens
+        L = cfg.text.num_hidden_layers
+        k_cache = jnp.zeros(
+            (L, B, T, cfg.text.num_key_value_heads, cfg.text.head_dim), dtype=kv_k.dtype
+        )
+        v_cache = jnp.zeros_like(k_cache)
+        k_cache = k_cache.at[:, :, :R].set(kv_k)
+        v_cache = v_cache.at[:, :, :R].set(kv_v)
+
+        last_pos = r_pos[:, :, -1]  # [3, B]
+        next_token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)  # [B]
+
+        seqs = np.zeros((B, max_new_tokens), dtype=np.int64)
+        finished = np.zeros((B,), dtype=bool)
+        n_gen = np.zeros((B,), dtype=np.int64)
+        kv_valid = jnp.concatenate(
+            [r_valid, jnp.zeros((B, max_new_tokens), dtype=bool)], axis=1
+        )
+
+        for step in range(max_new_tokens):
+            tok_host = np.asarray(next_token)
+            tok_host = np.where(finished, eos, tok_host)
+            seqs[:, step] = tok_host
+            n_gen += ~finished
+            finished |= tok_host == eos
+            if step % check_eos_every == 0 and finished.all():
+                break
+            if step == max_new_tokens - 1:
+                break
+            pos_step = (last_pos + 1 + step)[:, :, None]  # [3, B, 1]
+            kv_valid = kv_valid.at[:, R + step].set(True)
+            step_logits, k_cache, v_cache = self._decode(
+                {"params": self.params},
+                jnp.asarray(tok_host[:, None], dtype=jnp.int32),
+                pos_step, k_cache, v_cache, kv_valid, jnp.int32(R + step),
+            )
+            next_token = jnp.argmax(step_logits[:, -1], axis=-1).astype(jnp.int32)
+
+        return GenerateResult(
+            sequences=seqs,
+            num_generated=n_gen,
+            keep_img=keep_img,
+            mask_logits=mask_logits,
+            prune_ratio=prune_ratio,
+        )
