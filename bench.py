@@ -1,0 +1,196 @@
+"""Benchmark: pruned vs unpruned prefill wall-clock on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+metric  = prefill tokens/sec/chip for the GP-pruned pipeline
+          (vision encode + glimpse prefill to reduce_layer + fuser +
+          fixed-budget compaction + resume layers), Qwen2.5-VL-3B-shaped
+          model, bf16, ~1280 image tokens + text, 92% pruning
+vs_baseline = speedup vs the unpruned prefill of the SAME stack
+          (vision encode + full-depth full-length prefill) — the reference
+          framework's north-star comparison (BASELINE.md: >=3x target).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_cfg(scale: str):
+    from glimpseprune_tpu.config import GPConfig, ModelConfig, TextConfig, VisionConfig
+
+    # reference 3B GP recipe: reduce/select at layer 23 of 36,
+    # AttnFuserV1(256, cond 512, 4 heads), use_attention_logits=true
+    # (reference train_configs/qwen2_5_3b_gp/qwen2_5_3b_gp.yaml)
+    gp = GPConfig(
+        selected_layers=(23,),
+        reduce_layer=23,
+        use_attention_logits=True,
+        attn_fuse_type="AttnFuserV1",
+        attn_fuse_size=256,
+        visual_cond_size=512,
+        attn_fuse_num_heads=4,
+        selected_visual_layers=(31, 23, 15, 7),
+        le_layers=tuple(range(36)),
+        le_length=1,
+        max_remain_ratio=0.08,  # 92% pruning
+        min_remain_num=1,
+        ori_attn_supervision=False,
+    )
+    if scale == "3b":
+        text = TextConfig(
+            vocab_size=151936, hidden_size=2048, intermediate_size=11008,
+            num_hidden_layers=36, num_attention_heads=16, num_key_value_heads=2,
+        )
+        vision = VisionConfig(out_hidden_size=2048)
+    elif scale == "1b":
+        text = TextConfig(
+            vocab_size=151936, hidden_size=1536, intermediate_size=8192,
+            num_hidden_layers=24, num_attention_heads=12, num_key_value_heads=2,
+            mrope_section=(16, 24, 24), hidden_act="silu",
+        )
+        vision = VisionConfig(out_hidden_size=1536)
+        gp = GPConfig(
+            **{**gp.__dict__, "selected_layers": (15,), "reduce_layer": 15,
+               "le_layers": tuple(range(24))}
+        )
+    else:
+        raise ValueError(scale)
+    if text.hidden_size // text.num_attention_heads == 128:
+        pass
+    return ModelConfig(vision=vision, text=text, gp=gp)
+
+
+def run(scale: str):
+    import jax
+    import jax.numpy as jnp
+
+    from glimpseprune_tpu.models.qwen2_5_vl.gp_model import Qwen2_5_VL_GP
+    from glimpseprune_tpu.models.qwen2_5_vl.runner import (
+        GlimpsePruneRunner,
+        prepare_inputs,
+    )
+
+    cfg = build_cfg(scale)
+    rng = np.random.default_rng(0)
+
+    # ~1M-pixel image -> smart_resize caps at 1280 merged visual tokens
+    img = rng.integers(0, 255, (1036, 1036, 3), dtype=np.uint8)
+    prompt = (
+        [int(x) for x in rng.integers(5, 100000, 24)]
+        + [cfg.vision_start_token_id, cfg.image_token_id, cfg.vision_end_token_id]
+        + [int(x) for x in rng.integers(5, 100000, 24)]
+    )
+    prep = prepare_inputs(cfg, [prompt], [img])
+
+    model = Qwen2_5_VL_GP(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(prep.input_ids), jnp.asarray(prep.valid),
+        jnp.asarray(prep.position_ids), jnp.asarray(prep.patches),
+        jnp.asarray(prep.vis_pos_ids), jnp.asarray(prep.full_seg),
+        jnp.asarray(prep.win_seg), jnp.asarray(prep.packed_idx),
+        jnp.asarray(prep.img_slots), jnp.asarray(prep.img_valid),
+        jnp.asarray(prep.fuser.window_index), jnp.asarray(prep.fuser.reverse_index),
+        jnp.asarray(prep.fuser.segment_ids), jnp.asarray(prep.fuser.pos_ids),
+        jnp.asarray(prep.le_start), prep.out_len,
+    )["params"]
+
+    runner = GlimpsePruneRunner(cfg, params, dtype=jnp.bfloat16)
+    dev_inputs = runner._device_inputs(prep, use_ref_masks=False)
+
+    # NOTE measurement protocol for the axon TPU tunnel:
+    #  - block_until_ready does NOT wait for execution; only a host read does
+    #  - identical (executable, args) calls are served from a cache
+    # so every timed call perturbs its input in-program and syncs by reading
+    # one result scalar back to the host; measured tunnel RTT is subtracted.
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("out_len",))
+    def pruned_fn(params, inputs, i, out_len):
+        inputs = dict(inputs)
+        inputs["patches"] = inputs["patches"] + i * 1e-6
+        out = runner._prefill_impl(params, inputs, out_len, False)
+        return out.logits.astype(jnp.float32)[0, -1, :8].sum()
+
+    le_len = cfg.gp.le_length
+    vanilla_static = {
+        "input_ids": dev_inputs["input_ids"][:, :-le_len],
+        "valid": dev_inputs["valid"][:, :-le_len],
+        "position_ids": dev_inputs["position_ids"][:, :, :-le_len],
+    }
+
+    @jax.jit
+    def unpruned_fn(params, inputs, vanilla, i):
+        merged, _ = runner.model.apply(
+            params, inputs["patches"] + i * 1e-6, inputs["vis_pos_ids"],
+            inputs["full_seg"], inputs["win_seg"],
+            method=runner.model.vision_encode,
+        )
+        logits, _, _ = runner.model.apply(
+            params, vanilla["input_ids"], vanilla["valid"], vanilla["position_ids"],
+            merged, inputs["packed_idx"], inputs["img_slots"], inputs["img_valid"],
+            method=runner.model.vanilla_prefill,
+        )
+        return logits.astype(jnp.float32)[0, -1, :8].sum()
+
+    trivial = jax.jit(lambda x: x + 1)
+    float(trivial(jnp.zeros(8))[0])
+    rtts = []
+    for i in range(6):
+        t0 = time.perf_counter()
+        float(trivial(jnp.full((8,), float(i)))[0])
+        rtts.append(time.perf_counter() - t0)
+    rtt = min(rtts)
+
+    def timeit(fn, iters=4):
+        float(fn(jnp.float32(0.5)))  # compile + warm
+        times = []
+        for i in range(1, iters + 1):
+            t0 = time.perf_counter()
+            float(fn(jnp.float32(i)))
+            times.append(time.perf_counter() - t0)
+        return max(min(times) - rtt, 1e-6)
+
+    t_pruned = timeit(lambda i: pruned_fn({"params": params}, dev_inputs, i,
+                                          out_len=prep.out_len))
+    t_unpruned = timeit(lambda i: unpruned_fn({"params": params}, dev_inputs,
+                                              vanilla_static, i))
+
+    n_tokens = int(prep.valid.sum())  # real prompt tokens (text + image + le)
+    result = {
+        "metric": f"gp_pruned_prefill_tokens_per_sec_chip_{scale}",
+        "value": round(n_tokens / t_pruned, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(t_unpruned / t_pruned, 3),
+        "detail": {
+            "pruned_ms": round(t_pruned * 1e3, 2),
+            "unpruned_ms": round(t_unpruned * 1e3, 2),
+            "n_prompt_tokens": n_tokens,
+            "n_image_tokens": int(prep.n_img_tokens[0]),
+            "retention": cfg.gp.max_remain_ratio,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    return result
+
+
+def main():
+    scale = os.environ.get("BENCH_SCALE", "3b")
+    try:
+        result = run(scale)
+    except Exception as e:  # OOM etc: fall back to the smaller shape
+        if scale == "3b":
+            sys.stderr.write(f"3b bench failed ({type(e).__name__}: {e}); retrying 1b\n")
+            result = run("1b")
+        else:
+            raise
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -249,10 +249,14 @@ class AttnFuserV1(BaseAttnFuser):
                 dtype=self.dtype, name=f"layers_{i}",
             )(x, cond, geom_segment_ids, cos, sin, valid_win)
             last = i == n_fuser_layers - 1
-            if (training or last) and (gp.deep_supervision or last):
+            if gp.deep_supervision or last:
+                # params must exist in train AND eval (same checkpoint); the
+                # [B,N,1] proj is cheap, so compute unconditionally and emit
+                # per-mode (training: every layer; eval: last only)
                 logit = nn.Dense(1, use_bias=True, dtype=self.dtype, name=f"attn_out_projs_{i}")(x)
-                logit = _permute(logit[..., 0], geom_reverse_index)
-                outs.append(logit.astype(jnp.float32))
+                if training or last:
+                    logit = _permute(logit[..., 0], geom_reverse_index)
+                    outs.append(logit.astype(jnp.float32))
         return jnp.stack(outs, axis=0)  # [n_out, B, N]
 
 

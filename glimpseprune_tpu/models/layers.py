@@ -42,10 +42,12 @@ class GatedMLP(nn.Module):
     hidden_act: str = "silu"
     use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         act = ACT2FN[self.hidden_act]
-        gate = nn.Dense(self.intermediate_size, use_bias=self.use_bias, dtype=self.dtype, name="gate_proj")(x)
-        up = nn.Dense(self.intermediate_size, use_bias=self.use_bias, dtype=self.dtype, name="up_proj")(x)
-        return nn.Dense(self.hidden_size, use_bias=self.use_bias, dtype=self.dtype, name="down_proj")(act(gate) * up)
+        kw = dict(use_bias=self.use_bias, dtype=self.dtype, param_dtype=self.param_dtype)
+        gate = nn.Dense(self.intermediate_size, name="gate_proj", **kw)(x)
+        up = nn.Dense(self.intermediate_size, name="up_proj", **kw)(x)
+        return nn.Dense(self.hidden_size, name="down_proj", **kw)(act(gate) * up)

@@ -91,13 +91,15 @@ class Qwen2_5_VL_GP(nn.Module):
 
     cfg: ModelConfig
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         c = self.cfg
         self.visual = VisionTransformer(
-            c.vision, tap_layers=tuple(c.gp.selected_visual_layers), dtype=self.dtype
+            c.vision, tap_layers=tuple(c.gp.selected_visual_layers),
+            dtype=self.dtype, param_dtype=self.param_dtype,
         )
-        self.text = TextDecoder(c.text, dtype=self.dtype)
+        self.text = TextDecoder(c.text, dtype=self.dtype, param_dtype=self.param_dtype)
         self.attn_fuser = make_fuser(c, dtype=self.dtype)
         if c.gp.has_le:
             self.learnable_embeddings = self.param(
@@ -106,7 +108,8 @@ class Qwen2_5_VL_GP(nn.Module):
                 (len(c.gp.le_layers), c.gp.le_length, c.text.hidden_size),
                 jnp.float32,
             )
-            self.le_proj = nn.Dense(c.text.hidden_size, dtype=self.dtype)
+            self.le_proj = nn.Dense(c.text.hidden_size, dtype=self.dtype,
+                                    param_dtype=self.param_dtype)
             if c.gp.le_norm_type == "rmsnorm":
                 self.le_norm = RMSNorm(c.text.hidden_size, c.text.rms_norm_eps)
             elif c.gp.le_norm_type == "layernorm":

@@ -56,13 +56,15 @@ def harvest_attention_row(
 class TextAttention(nn.Module):
     cfg: TextConfig
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         c = self.cfg
-        self.q_proj = nn.Dense(c.num_attention_heads * c.head_dim, use_bias=True, dtype=self.dtype)
-        self.k_proj = nn.Dense(c.num_key_value_heads * c.head_dim, use_bias=True, dtype=self.dtype)
-        self.v_proj = nn.Dense(c.num_key_value_heads * c.head_dim, use_bias=True, dtype=self.dtype)
-        self.o_proj = nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.q_proj = nn.Dense(c.num_attention_heads * c.head_dim, use_bias=True, **kw)
+        self.k_proj = nn.Dense(c.num_key_value_heads * c.head_dim, use_bias=True, **kw)
+        self.v_proj = nn.Dense(c.num_key_value_heads * c.head_dim, use_bias=True, **kw)
+        self.o_proj = nn.Dense(c.hidden_size, use_bias=False, **kw)
 
     def qkv(self, x, cos, sin):
         c = self.cfg
@@ -82,14 +84,16 @@ class TextAttention(nn.Module):
 class DecoderLayer(nn.Module):
     cfg: TextConfig
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         c = self.cfg
         self.input_layernorm = RMSNorm(c.hidden_size, c.rms_norm_eps)
-        self.self_attn = TextAttention(c, dtype=self.dtype)
+        self.self_attn = TextAttention(c, dtype=self.dtype, param_dtype=self.param_dtype)
         self.post_attention_layernorm = RMSNorm(c.hidden_size, c.rms_norm_eps)
         self.mlp = GatedMLP(
-            c.hidden_size, c.intermediate_size, c.hidden_act, use_bias=False, dtype=self.dtype
+            c.hidden_size, c.intermediate_size, c.hidden_act, use_bias=False,
+            dtype=self.dtype, param_dtype=self.param_dtype,
         )
 
     def __call__(self, x, cos, sin, valid):
@@ -147,17 +151,20 @@ class TextDecoder(nn.Module):
 
     cfg: TextConfig
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         c = self.cfg
-        self.embed_tokens = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype)
+        self.embed_tokens = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype,
+                                     param_dtype=self.param_dtype)
         self.layers = [
-            DecoderLayer(c, dtype=self.dtype, name=f"layers_{i}")
+            DecoderLayer(c, dtype=self.dtype, param_dtype=self.param_dtype, name=f"layers_{i}")
             for i in range(c.num_hidden_layers)
         ]
         self.norm = RMSNorm(c.hidden_size, c.rms_norm_eps)
         if not c.tie_word_embeddings:
-            self.lm_head = nn.Dense(c.vocab_size, use_bias=False, dtype=self.dtype)
+            self.lm_head = nn.Dense(c.vocab_size, use_bias=False, dtype=self.dtype,
+                                    param_dtype=self.param_dtype)
 
     def __call__(self, input_ids, cos, sin, valid):
         """Init/traversal path: plain full prefill to logits."""

@@ -25,34 +25,38 @@ from glimpseprune_tpu.ops.rope import apply_rotary, vision_rope_cos_sin
 class VisionAttention(nn.Module):
     cfg: VisionConfig
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, cos, sin, segment_ids):
         c = self.cfg
         p = x.shape[0]
-        qkv = nn.Dense(3 * c.hidden_size, use_bias=True, dtype=self.dtype, name="qkv")(x)
+        qkv = nn.Dense(3 * c.hidden_size, use_bias=True, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv.reshape(p, 3, c.num_heads, c.head_dim), 3, axis=1)
         q, k, v = q[:, 0], k[:, 0], v[:, 0]  # [P, H, D]
         q = apply_rotary(q[None], cos[None], sin[None])[0]
         k = apply_rotary(k[None], cos[None], sin[None])[0]
         out = segment_attention(q, k, v, segment_ids)
         out = out.reshape(p, c.hidden_size)
-        return nn.Dense(c.hidden_size, use_bias=True, dtype=self.dtype, name="proj")(out)
+        return nn.Dense(c.hidden_size, use_bias=True, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="proj")(out)
 
 
 class VisionBlock(nn.Module):
     cfg: VisionConfig
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, cos, sin, segment_ids):
         c = self.cfg
-        h = x + VisionAttention(c, dtype=self.dtype, name="attn")(
+        h = x + VisionAttention(c, dtype=self.dtype, param_dtype=self.param_dtype, name="attn")(
             RMSNorm(c.hidden_size, 1e-6, name="norm1")(x), cos, sin, segment_ids
         )
         h = h + GatedMLP(
             c.hidden_size, c.intermediate_size, c.hidden_act, use_bias=True,
-            dtype=self.dtype, name="mlp",
+            dtype=self.dtype, param_dtype=self.param_dtype, name="mlp",
         )(RMSNorm(c.hidden_size, 1e-6, name="norm2")(h))
         return h
 
@@ -60,6 +64,7 @@ class VisionBlock(nn.Module):
 class PatchMerger(nn.Module):
     cfg: VisionConfig
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -67,9 +72,11 @@ class PatchMerger(nn.Module):
         mu = c.spatial_merge_unit
         x = RMSNorm(c.hidden_size, 1e-6, name="ln_q")(x)
         x = x.reshape(-1, mu * c.hidden_size)
-        x = nn.Dense(mu * c.hidden_size, use_bias=True, dtype=self.dtype, name="fc1")(x)
+        x = nn.Dense(mu * c.hidden_size, use_bias=True, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(c.out_hidden_size, use_bias=True, dtype=self.dtype, name="fc2")(x)
+        return nn.Dense(c.out_hidden_size, use_bias=True, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="fc2")(x)
 
 
 class VisionTransformer(nn.Module):
@@ -89,12 +96,14 @@ class VisionTransformer(nn.Module):
     cfg: VisionConfig
     tap_layers: Tuple[int, ...] = ()
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, patches, pos_ids, full_seg, win_seg):
         c = self.cfg
         mu = c.spatial_merge_unit
-        x = nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype, name="patch_embed")(
+        x = nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="patch_embed")(
             patches.astype(self.dtype)
         )
         cos, sin = vision_rope_cos_sin(pos_ids, c.head_dim)
@@ -104,10 +113,11 @@ class VisionTransformer(nn.Module):
         taps: List[Optional[jnp.ndarray]] = [None] * len(self.tap_layers)
         for i in range(c.depth):
             seg = full_seg if i in c.fullatt_block_indexes else win_seg
-            x = VisionBlock(c, dtype=self.dtype, name=f"blocks_{i}")(x, cos, sin, seg)
+            x = VisionBlock(c, dtype=self.dtype, param_dtype=self.param_dtype,
+                            name=f"blocks_{i}")(x, cos, sin, seg)
             if i in self.tap_layers:
                 pos = self.tap_layers.index(i)
                 taps[pos] = x.reshape(-1, mu, c.hidden_size).mean(axis=1)
 
-        merged = PatchMerger(c, dtype=self.dtype, name="merger")(x)
+        merged = PatchMerger(c, dtype=self.dtype, param_dtype=self.param_dtype, name="merger")(x)
         return merged, taps

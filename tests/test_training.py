@@ -1,0 +1,120 @@
+"""Base training recipe: loss wiring, frozen base, mask-IoU improves on a toy task."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from glimpseprune_tpu.config import tiny_test_config
+from glimpseprune_tpu.models.qwen2_5_vl.gp_model import Qwen2_5_VL_GP
+from glimpseprune_tpu.models.qwen2_5_vl.runner import prepare_inputs
+from glimpseprune_tpu.training import (
+    init_train_state,
+    make_train_step,
+    split_params,
+)
+
+
+def build_batch(cfg, rng, with_labels=True):
+    prompts = []
+    answers = [] if with_labels else None
+    for _ in range(2):
+        prompts.append(
+            [int(x) for x in rng.integers(5, 400, 4)]
+            + [cfg.vision_start_token_id, cfg.image_token_id, cfg.vision_end_token_id]
+            + [int(x) for x in rng.integers(5, 400, 3)]
+        )
+        if with_labels:
+            answers.append([int(x) for x in rng.integers(5, 400, 4)])
+    images = [
+        rng.integers(0, 255, (64, 96, 3), dtype=np.uint8),
+        rng.integers(0, 255, (56, 56, 3), dtype=np.uint8),
+    ]
+    bboxes = [[[0.0, 0.0, 0.5, 1.0]], [[0.5, 0.5, 1.0, 1.0]]]
+    prep = prepare_inputs(
+        cfg, prompts, images, normed_bboxes=bboxes, answer_ids=answers,
+        seq_multiple=8, patch_multiple=16,
+    )
+    batch = {
+        "input_ids": jnp.asarray(prep.input_ids),
+        "valid": jnp.asarray(prep.valid),
+        "position_ids": jnp.asarray(prep.position_ids),
+        "patches": jnp.asarray(prep.patches),
+        "vis_pos_ids": jnp.asarray(prep.vis_pos_ids),
+        "full_seg": jnp.asarray(prep.full_seg),
+        "win_seg": jnp.asarray(prep.win_seg),
+        "packed_idx": jnp.asarray(prep.packed_idx),
+        "img_slots": jnp.asarray(prep.img_slots),
+        "img_valid": jnp.asarray(prep.img_valid),
+        "fuser_window_index": jnp.asarray(prep.fuser.window_index),
+        "fuser_reverse_index": jnp.asarray(prep.fuser.reverse_index),
+        "fuser_segment_ids": jnp.asarray(prep.fuser.segment_ids),
+        "fuser_pos_ids": jnp.asarray(prep.fuser.pos_ids),
+        "le_start": jnp.asarray(prep.le_start),
+        "ref_token_masks": jnp.asarray(prep.ref_token_masks),
+    }
+    if with_labels:
+        batch["labels"] = jnp.asarray(prep.labels)
+    return prep, batch
+
+
+def init_params(cfg, prep):
+    model = Qwen2_5_VL_GP(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(prep.input_ids), jnp.asarray(prep.valid),
+        jnp.asarray(prep.position_ids), jnp.asarray(prep.patches),
+        jnp.asarray(prep.vis_pos_ids), jnp.asarray(prep.full_seg),
+        jnp.asarray(prep.win_seg), jnp.asarray(prep.packed_idx),
+        jnp.asarray(prep.img_slots), jnp.asarray(prep.img_valid),
+        jnp.asarray(prep.fuser.window_index), jnp.asarray(prep.fuser.reverse_index),
+        jnp.asarray(prep.fuser.segment_ids), jnp.asarray(prep.fuser.pos_ids),
+        jnp.asarray(prep.le_start), prep.out_len,
+    )
+    return model, variables["params"]
+
+
+def test_split_params():
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(0)
+    prep, _ = build_batch(cfg, rng)
+    _, params = init_params(cfg, prep)
+    trainable, frozen = split_params(params)
+    assert set(trainable) == {"attn_fuser", "learnable_embeddings", "le_proj", "le_norm"}
+    assert "text" in frozen and "visual" in frozen
+    n_train = sum(x.size for x in jax.tree_util.tree_leaves(trainable))
+    n_total = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    assert n_train < 0.2 * n_total
+
+
+def test_train_step_learns_masks():
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(0)
+    prep, batch = build_batch(cfg, rng)
+    model, params = init_params(cfg, prep)
+
+    opt = optax.adam(3e-3)
+    step_fn = jax.jit(make_train_step(cfg, model, opt))
+    state, frozen = init_train_state(params, opt)
+
+    key = jax.random.PRNGKey(1)
+    first = None
+    metrics = None
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, frozen, batch, sub)
+        if first is None:
+            first = jax.tree_util.tree_map(float, metrics)
+    last = jax.tree_util.tree_map(float, metrics)
+    assert last["loc_loss"] < first["loc_loss"], (first, last)
+    assert last["mask_iou"] > 0.8, last  # toy task: memorize the bbox mask
+    assert np.isfinite(last["le_loss"])
+
+    # frozen base params untouched by construction (separate tree)
+    t0, _ = split_params(params)
+    changed = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), t0, state.trainable
+    )
+    assert max(jax.tree_util.tree_leaves(changed)) > 0
