@@ -121,9 +121,11 @@ class Qwen2_5_VL_GP(nn.Module):
     # ------------------------------------------------------------------ #
     # vision
 
-    def vision_encode(self, patches, pos_ids, full_seg, win_seg):
-        """Packed window-ordered patches -> (merged embeds, taps), window order."""
-        return self.visual(patches, pos_ids, full_seg, win_seg)
+    def vision_encode(self, patches, pos_ids, full_seg, win_seg,
+                      emit_importance: bool = False):
+        """Packed window-ordered patches -> (merged embeds, taps[, importance]),
+        window order. emit_importance adds VisionZip scores (vision.py)."""
+        return self.visual(patches, pos_ids, full_seg, win_seg, emit_importance)
 
     # ------------------------------------------------------------------ #
     # le helpers
@@ -352,6 +354,95 @@ class Qwen2_5_VL_GP(nn.Module):
         return out._replace(le_loss=le_loss)
 
     # ------------------------------------------------------------------ #
+    # staged in-LLM dropping (PyramidDrop / VScan LLM stage)
+
+    def staged_prefill(
+        self,
+        input_ids: jnp.ndarray,     # [B, S]
+        valid: jnp.ndarray,         # [B, S]
+        position_ids: jnp.ndarray,  # [3, B, S]
+        image_embeds: jnp.ndarray,  # [Pm, H] packed window order
+        packed_idx: jnp.ndarray,
+        img_slots: jnp.ndarray,
+        img_valid: jnp.ndarray,
+        stages: Tuple[Tuple[int, float], ...],
+        out_lens: Tuple[int, ...],
+    ):
+        """Text-guided staged image-token dropping (compressors/staged.py).
+
+        At each (layer, ratio) stage: harvest the last token's attention row
+        at that layer, keep the top-k image tokens, compact everything
+        (hidden + accumulated KV), continue. Returns (logits, ids, valid,
+        position_ids, kv_k, kv_v, is_img) on the final compacted geometry.
+        """
+        c = self.cfg
+        B, S = input_ids.shape
+        embeds = self.text.embed(input_ids)
+        rows = _gather_rows(
+            jnp.broadcast_to(image_embeds[None], (B,) + image_embeds.shape),
+            packed_idx, img_valid,
+        )
+        embeds = _scatter_rows(embeds, img_slots, rows, img_valid)
+        is_img = jnp.zeros((B, S), dtype=bool)
+        is_img = _scatter_rows(is_img, img_slots, img_valid, img_valid)
+
+        x = embeds
+        pos = position_ids
+        ks, vs = [], []
+        layer_cursor = 0
+        n_img0 = img_valid.sum(-1)  # [B]
+
+        for (stage_layer, ratio), out_len in zip(stages, out_lens):
+            cos, sin = mrope_cos_sin(
+                pos, c.text.head_dim, c.text.rope_theta, c.text.mrope_section
+            )
+            q_index = jnp.full((B,), x.shape[1] - 1, dtype=jnp.int32)
+            x, (k_seg, v_seg), harv = self.text.run_layers(
+                x, cos.astype(self.dtype), sin.astype(self.dtype), valid,
+                layer_start=layer_cursor, layer_end=stage_layer,
+                harvest_layers=(stage_layer,), q_index=q_index,
+                use_attention_logits=False,
+            )
+            ks.append(k_seg)
+            vs.append(v_seg)
+            layer_cursor = stage_layer + 1
+
+            probs = jnp.exp(harv[stage_layer].astype(jnp.float32)).mean(-1)  # [B, S]
+            score = jnp.where(is_img & valid, probs, -jnp.inf)
+            order = jnp.argsort(-score, axis=-1, stable=True)
+            rank = jnp.argsort(order, axis=-1)
+            k_keep = jnp.maximum((ratio * n_img0).astype(jnp.int32), 1)
+            keep_img = (rank < k_keep[:, None]) & is_img & valid
+            keep = (valid & ~is_img) | keep_img
+
+            plan = compaction_indices(keep, out_len)
+            x = gather_tokens(x, plan)
+            input_ids = gather_tokens(input_ids, plan, fill=c.pad_token_id)
+            pos = gather_positions(pos, plan)
+            is_img = gather_tokens(is_img, plan, fill=False)
+            valid = plan.valid
+            kv = jnp.concatenate(ks, 0), jnp.concatenate(vs, 0)
+            ks = [gather_kv(kv[0], plan)]
+            vs = [gather_kv(kv[1], plan)]
+
+        if layer_cursor < c.text.num_hidden_layers:
+            cos, sin = mrope_cos_sin(
+                pos, c.text.head_dim, c.text.rope_theta, c.text.mrope_section
+            )
+            x, (k_seg, v_seg), _ = self.text.run_layers(
+                x, cos.astype(self.dtype), sin.astype(self.dtype), valid,
+                layer_start=layer_cursor,
+            )
+            ks.append(k_seg)
+            vs.append(v_seg)
+        x = self.text.final_norm(x)
+        logits = self.text.logits(x)
+        return (
+            logits, input_ids, valid, pos,
+            jnp.concatenate(ks, 0), jnp.concatenate(vs, 0), is_img,
+        )
+
+    # ------------------------------------------------------------------ #
     # vanilla paths (do_selection=False must reproduce the plain model)
 
     def vanilla_prefill(self, input_ids, valid, position_ids,
@@ -366,6 +457,18 @@ class Qwen2_5_VL_GP(nn.Module):
                 packed_idx, img_valid,
             )
             embeds = _scatter_rows(embeds, img_slots, rows, img_valid)
+        cos, sin = mrope_cos_sin(
+            position_ids, c.text.head_dim, c.text.rope_theta, c.text.mrope_section
+        )
+        x, (kv_k, kv_v), _ = self.text.run_layers(
+            embeds, cos.astype(self.dtype), sin.astype(self.dtype), valid
+        )
+        x = self.text.final_norm(x)
+        return self.text.logits(x), kv_k, kv_v
+
+    def prefill_embeds(self, embeds, valid, position_ids):
+        """Full-depth prefill over precomputed embeddings (compressed seqs)."""
+        c = self.cfg
         cos, sin = mrope_cos_sin(
             position_ids, c.text.head_dim, c.text.rope_theta, c.text.mrope_section
         )

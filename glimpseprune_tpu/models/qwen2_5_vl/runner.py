@@ -259,6 +259,13 @@ class GlimpsePruneRunner:
             lambda p, *a: self.model.apply(p, *a, method=self.model.vanilla_prefill)
         )
         self._decode = jax.jit(self._decode_impl, donate_argnums=(3, 4) if donate_cache else ())
+        self._staged = jax.jit(
+            self._staged_impl, static_argnames=("stages", "out_lens")
+        )
+        self._pre_llm_compress = jax.jit(
+            self._pre_llm_compress_impl,
+            static_argnames=("method", "k", "out_len", "dominant_ratio", "contextual_ratio"),
+        )
 
     # ---- jitted bodies -------------------------------------------------
 
@@ -298,6 +305,117 @@ class GlimpsePruneRunner:
             )
 
         return self.model.apply(params, method=run)
+
+    def _staged_impl(self, params, inputs, stages, out_lens):
+        merged, _ = self.model.apply(
+            params, inputs["patches"], inputs["vis_pos_ids"],
+            inputs["full_seg"], inputs["win_seg"],
+            method=self.model.vision_encode,
+        )
+
+        def run(m):
+            return m.staged_prefill(
+                inputs["input_ids"], inputs["valid"], inputs["position_ids"],
+                merged, inputs["packed_idx"], inputs["img_slots"],
+                inputs["img_valid"], stages, out_lens,
+            )
+
+        return self.model.apply(params, method=run)
+
+    def _pre_llm_compress_impl(self, params, inputs, method, k, out_len,
+                               dominant_ratio, contextual_ratio):
+        from glimpseprune_tpu.compressors import (
+            cdpruner_select,
+            divprune_select,
+            visionzip_select,
+        )
+        from glimpseprune_tpu.models.qwen2_5_vl.gp_model import (
+            _gather_rows,
+            _scatter_rows,
+        )
+        from glimpseprune_tpu.ops.compaction import (
+            compaction_indices,
+            gather_positions,
+            gather_tokens,
+        )
+
+        cfg = self.cfg
+        input_ids = inputs["input_ids"]
+        valid = inputs["valid"]
+        position_ids = inputs["position_ids"]
+        packed_idx = inputs["packed_idx"]
+        img_slots = inputs["img_slots"]
+        img_valid = inputs["img_valid"]
+        B = input_ids.shape[0]
+
+        emit_imp = method == "visionzip"
+        vis_out = self.model.apply(
+            params, inputs["patches"], inputs["vis_pos_ids"],
+            inputs["full_seg"], inputs["win_seg"], emit_imp,
+            method=self.model.vision_encode,
+        )
+        if emit_imp:
+            merged, _, (received, keys_mean) = vis_out
+        else:
+            merged, _ = vis_out
+        rows = _gather_rows(
+            jnp.broadcast_to(merged[None], (B,) + merged.shape), packed_idx, img_valid
+        )
+
+        if method == "visionzip":
+            imp_rows = _gather_rows(
+                jnp.broadcast_to(received[None], (B,) + received.shape),
+                packed_idx, img_valid,
+            )
+            key_rows = _gather_rows(
+                jnp.broadcast_to(keys_mean[None], (B,) + keys_mean.shape),
+                packed_idx, img_valid,
+            )
+            keep_img, rows = visionzip_select(
+                rows, imp_rows, key_rows, img_valid, dominant_ratio, contextual_ratio
+            )
+        elif method == "divprune":
+            keep_img = divprune_select(rows, img_valid, k)
+        elif method == "cdpruner":
+            # relevance proxy: negated cosine similarity between each visual
+            # token and the mean text-token embedding (the reference's CLIP
+            # text tower has no Qwen counterpart; same negate+minmax treatment,
+            # llava_cdpruner/model/llava_arch.py:156-160)
+            embeds0 = self.model.apply(
+                params, input_ids, method=lambda m, ids: m.text.embed(ids)
+            )
+            is_img0 = jnp.zeros_like(valid)
+            is_img0 = _scatter_rows(is_img0, img_slots, img_valid, img_valid)
+            text_mask = (valid & ~is_img0)[..., None]
+            text_mean = (embeds0 * text_mask).sum(1) / jnp.maximum(
+                text_mask.sum(1), 1
+            )
+            rn = rows / jnp.maximum(jnp.linalg.norm(rows.astype(jnp.float32), axis=-1, keepdims=True), 1e-8)
+            tn = text_mean / jnp.maximum(jnp.linalg.norm(text_mean.astype(jnp.float32), axis=-1, keepdims=True), 1e-8)
+            relevance = -jnp.einsum("bnd,bd->bn", rn.astype(jnp.float32), tn.astype(jnp.float32))
+            keep_img = cdpruner_select(rows, relevance, img_valid, k)
+        else:
+            raise ValueError(f"unknown compressor {method!r}")
+
+        embeds = self.model.apply(
+            params, input_ids, method=lambda m, ids: m.text.embed(ids)
+        )
+        embeds = _scatter_rows(embeds, img_slots, rows, img_valid)
+        is_img = jnp.zeros_like(valid)
+        is_img = _scatter_rows(is_img, img_slots, img_valid, img_valid)
+        keep = (valid & ~is_img) | _scatter_rows(
+            jnp.zeros_like(valid), img_slots, keep_img, img_valid
+        )
+
+        plan = compaction_indices(keep, out_len)
+        r_embeds = gather_tokens(embeds, plan)
+        r_ids = gather_tokens(input_ids, plan, fill=cfg.pad_token_id)
+        r_pos = gather_positions(position_ids, plan)
+
+        logits, kv_k, kv_v = self.model.apply(
+            params, r_embeds, plan.valid, r_pos, method=self.model.prefill_embeds
+        )
+        return logits, r_ids, plan.valid, r_pos, kv_k, kv_v, keep_img
 
     def _decode_impl(self, params, token, position_ids, k_cache, v_cache, kv_valid, write_idx):
         return self.model.apply(
@@ -394,6 +512,22 @@ class GlimpsePruneRunner:
             keep_img = mask_logits = None
             prune_ratio = None
 
+        seqs, n_gen = self._decode_loop(
+            logits, r_valid, r_pos, kv_k, kv_v, max_new_tokens, eos, check_eos_every
+        )
+        return GenerateResult(
+            sequences=seqs,
+            num_generated=n_gen,
+            keep_img=keep_img,
+            mask_logits=mask_logits,
+            prune_ratio=prune_ratio,
+        )
+
+    def _decode_loop(self, logits, r_valid, r_pos, kv_k, kv_v, max_new_tokens,
+                     eos, check_eos_every=8):
+        """Greedy decode over a compacted KV prefix; shared by every method."""
+        cfg = self.cfg
+        B = logits.shape[0]
         R = int(r_valid.shape[1])
         T = R + max_new_tokens
         L = cfg.text.num_hidden_layers
@@ -432,11 +566,80 @@ class GlimpsePruneRunner:
                 pos_step, k_cache, v_cache, kv_valid, jnp.int32(R + step),
             )
             next_token = jnp.argmax(step_logits[:, -1], axis=-1).astype(jnp.int32)
+        return seqs, n_gen
 
+    # ------------------------------------------------------------------ #
+    # baseline compressors in the same harness (SURVEY.md §2.4)
+
+    @time_logger
+    def generate_compressed(
+        self,
+        prep: PreparedInputs,
+        method: str,
+        max_new_tokens: int = 128,
+        visual_token_num: Optional[int] = None,
+        dominant_ratio: float = 0.65,
+        contextual_ratio: float = 0.05,
+        stages: Tuple[Tuple[int, float], ...] = ((8, 0.5), (16, 0.25), (24, 0.125)),
+        eos_token_id: Optional[int] = None,
+    ) -> GenerateResult:
+        """Run a baseline compressor end-to-end: visionzip / divprune /
+        cdpruner prune before the LLM; pdrop (staged) prunes inside it."""
+        cfg = self.cfg
+        eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
+        B, N = prep.img_valid.shape
+        inputs = self._device_inputs(prep, False)
+        le_len = cfg.gp.le_length if cfg.gp.has_le else 0
+        if le_len:  # compressors run without the glimpse token
+            inputs["input_ids"] = inputs["input_ids"][:, :-le_len]
+            inputs["valid"] = inputs["valid"][:, :-le_len]
+            inputs["position_ids"] = inputs["position_ids"][:, :, :-le_len]
+
+        seq_mult = 64 if prep.input_ids.shape[1] % 64 == 0 else 8
+
+        if method == "pdrop":
+            from glimpseprune_tpu.compressors.staged import staged_drop_schedule
+
+            valid_stages = tuple(
+                (l, r) for l, r in stages if l < cfg.text.num_hidden_layers
+            )
+            out_lens = tuple(
+                staged_drop_schedule(
+                    int(prep.n_img_tokens.max()),
+                    int(inputs["input_ids"].shape[1]), valid_stages,
+                    round_to=seq_mult,
+                )
+            )
+            logits, r_ids, r_valid, r_pos, kv_k, kv_v, is_img = self._staged(
+                {"params": self.params}, inputs, valid_stages, out_lens
+            )
+            kept = jnp.asarray(is_img.sum(-1))
+            keep_img = None
+        else:
+            keep_budget = visual_token_num or max(
+                int((dominant_ratio + contextual_ratio) * N) + 2, 1
+            )
+            n_text = int(inputs["valid"].sum(1).max()) - int(prep.n_img_tokens.min())
+            out_len = _round_up(
+                int(inputs["input_ids"].shape[1]) - int(prep.n_img_tokens.min())
+                + min(keep_budget, N),
+                seq_mult,
+            )
+            out_len = min(out_len, int(inputs["input_ids"].shape[1]))
+            logits, r_ids, r_valid, r_pos, kv_k, kv_v, keep_img = self._pre_llm_compress(
+                {"params": self.params}, inputs, method, keep_budget, out_len,
+                dominant_ratio, contextual_ratio,
+            )
+            kept = jnp.asarray(keep_img.sum(-1))
+
+        seqs, n_gen = self._decode_loop(
+            logits, r_valid, r_pos, kv_k, kv_v, max_new_tokens, eos
+        )
+        keep_np = None if keep_img is None else np.asarray(keep_img)
         return GenerateResult(
             sequences=seqs,
             num_generated=n_gen,
-            keep_img=keep_img,
-            mask_logits=mask_logits,
-            prune_ratio=prune_ratio,
+            keep_img=keep_np,
+            mask_logits=None,
+            prune_ratio=1.0 - np.asarray(kept) / np.maximum(prep.n_img_tokens, 1),
         )

@@ -28,7 +28,7 @@ class VisionAttention(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, cos, sin, segment_ids):
+    def __call__(self, x, cos, sin, segment_ids, emit_importance: bool = False):
         c = self.cfg
         p = x.shape[0]
         qkv = nn.Dense(3 * c.hidden_size, use_bias=True, dtype=self.dtype,
@@ -39,8 +39,32 @@ class VisionAttention(nn.Module):
         k = apply_rotary(k[None], cos[None], sin[None])[0]
         out = segment_attention(q, k, v, segment_ids)
         out = out.reshape(p, c.hidden_size)
-        return nn.Dense(c.hidden_size, use_bias=True, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="proj")(out)
+
+        importance = None
+        if emit_importance:
+            # VisionZip importance: head-mean softmax attention *received* per
+            # key, and head-mean post-rope keys for the contextual-merge
+            # metric (reference qwen_visionzip/qwen2_5vl_visionzip.py:598-615)
+            import jax
+            scale = 1.0 / jnp.sqrt(jnp.float32(c.head_dim))
+            logits = jnp.einsum(
+                "shd,thd->hst", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            allowed = (segment_ids[:, None] == segment_ids[None, :]) & (
+                segment_ids >= 0
+            )[:, None]
+            allowed = allowed | jnp.eye(p, dtype=bool)
+            logits = jnp.where(allowed[None], logits, -1e30)
+            probs = jax.nn.softmax(logits, axis=-1)
+            received = probs.mean(0).sum(0)  # [P]
+            keys_mean = k.astype(jnp.float32).mean(axis=1)  # [P, D]
+            importance = (received, keys_mean)
+
+        out = nn.Dense(c.hidden_size, use_bias=True, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="proj")(out)
+        if emit_importance:
+            return out, importance
+        return out
 
 
 class VisionBlock(nn.Module):
@@ -49,15 +73,22 @@ class VisionBlock(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, cos, sin, segment_ids):
+    def __call__(self, x, cos, sin, segment_ids, emit_importance: bool = False):
         c = self.cfg
-        h = x + VisionAttention(c, dtype=self.dtype, param_dtype=self.param_dtype, name="attn")(
-            RMSNorm(c.hidden_size, 1e-6, name="norm1")(x), cos, sin, segment_ids
+        attn_out = VisionAttention(c, dtype=self.dtype, param_dtype=self.param_dtype, name="attn")(
+            RMSNorm(c.hidden_size, 1e-6, name="norm1")(x), cos, sin, segment_ids,
+            emit_importance=emit_importance,
         )
+        importance = None
+        if emit_importance:
+            attn_out, importance = attn_out
+        h = x + attn_out
         h = h + GatedMLP(
             c.hidden_size, c.intermediate_size, c.hidden_act, use_bias=True,
             dtype=self.dtype, param_dtype=self.param_dtype, name="mlp",
         )(RMSNorm(c.hidden_size, 1e-6, name="norm2")(h))
+        if emit_importance:
+            return h, importance
         return h
 
 
@@ -99,7 +130,7 @@ class VisionTransformer(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, patches, pos_ids, full_seg, win_seg):
+    def __call__(self, patches, pos_ids, full_seg, win_seg, emit_importance: bool = False):
         c = self.cfg
         mu = c.spatial_merge_unit
         x = nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype,
@@ -111,13 +142,26 @@ class VisionTransformer(nn.Module):
         sin = sin.astype(self.dtype)
 
         taps: List[Optional[jnp.ndarray]] = [None] * len(self.tap_layers)
+        importance = None
         for i in range(c.depth):
             seg = full_seg if i in c.fullatt_block_indexes else win_seg
-            x = VisionBlock(c, dtype=self.dtype, param_dtype=self.param_dtype,
-                            name=f"blocks_{i}")(x, cos, sin, seg)
+            want_imp = emit_importance and i == c.depth - 1
+            out = VisionBlock(c, dtype=self.dtype, param_dtype=self.param_dtype,
+                              name=f"blocks_{i}")(x, cos, sin, seg,
+                                                  emit_importance=want_imp)
+            x = out[0] if want_imp else out
+            if want_imp:
+                received, keys_mean = out[1]
+                # merge-unit pool to token granularity (window order)
+                importance = (
+                    received.reshape(-1, mu).mean(axis=1),
+                    keys_mean.reshape(-1, mu, keys_mean.shape[-1]).mean(axis=1),
+                )
             if i in self.tap_layers:
                 pos = self.tap_layers.index(i)
                 taps[pos] = x.reshape(-1, mu, c.hidden_size).mean(axis=1)
 
         merged = PatchMerger(c, dtype=self.dtype, param_dtype=self.param_dtype, name="merger")(x)
+        if emit_importance:
+            return merged, taps, importance
         return merged, taps
