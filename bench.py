@@ -93,7 +93,7 @@ def run(scale: str):
         jnp.asarray(prep.input_ids), jnp.asarray(prep.valid),
         jnp.asarray(prep.position_ids), jnp.asarray(prep.patches),
         jnp.asarray(prep.vis_pos_ids), jnp.asarray(prep.full_seg),
-        jnp.asarray(prep.win_seg), jnp.asarray(prep.packed_idx),
+        jnp.asarray(prep.vis_valid), jnp.asarray(prep.packed_idx),
         jnp.asarray(prep.img_slots), jnp.asarray(prep.img_valid),
         jnp.asarray(prep.fuser.window_index), jnp.asarray(prep.fuser.reverse_index),
         jnp.asarray(prep.fuser.segment_ids), jnp.asarray(prep.fuser.pos_ids),
@@ -128,7 +128,7 @@ def run(scale: str):
     def unpruned_fn(params, inputs, vanilla, i):
         merged, _ = runner.model.apply(
             params, inputs["patches"] + i * 1e-6, inputs["vis_pos_ids"],
-            inputs["full_seg"], inputs["win_seg"],
+            inputs["full_seg"], inputs["vis_valid"],
             method=runner.model.vision_encode,
         )
         logits, _, _ = runner.model.apply(

@@ -121,11 +121,11 @@ class Qwen2_5_VL_GP(nn.Module):
     # ------------------------------------------------------------------ #
     # vision
 
-    def vision_encode(self, patches, pos_ids, full_seg, win_seg,
+    def vision_encode(self, patches, pos_ids, full_seg, vis_valid,
                       emit_importance: bool = False):
-        """Packed window-ordered patches -> (merged embeds, taps[, importance]),
-        window order. emit_importance adds VisionZip scores (vision.py)."""
-        return self.visual(patches, pos_ids, full_seg, win_seg, emit_importance)
+        """Window-padded packed patches -> (merged embeds, taps[, importance])
+        in slot order. emit_importance adds VisionZip scores (vision.py)."""
+        return self.visual(patches, pos_ids, full_seg, vis_valid, emit_importance)
 
     # ------------------------------------------------------------------ #
     # le helpers
@@ -491,10 +491,10 @@ class Qwen2_5_VL_GP(nn.Module):
 
     # init/traversal path: touch every submodule so linen materializes params
     def __call__(self, input_ids, valid, position_ids, patches, vis_pos_ids,
-                 full_seg, win_seg, packed_idx, img_slots, img_valid,
+                 full_seg, vis_valid, packed_idx, img_slots, img_valid,
                  fuser_window_index, fuser_reverse_index, fuser_segment_ids,
                  fuser_pos_ids, le_start, out_len: int):
-        merged, taps = self.vision_encode(patches, vis_pos_ids, full_seg, win_seg)
+        merged, taps = self.vision_encode(patches, vis_pos_ids, full_seg, vis_valid)
         taps = jnp.stack([t for t in taps], axis=0) if taps else jnp.zeros((0,) + merged.shape)
         return self.glimpse_prefill(
             out_len,

@@ -37,10 +37,10 @@ class PreparedInputs:
     input_ids: np.ndarray          # [B, S]
     valid: np.ndarray              # [B, S]
     position_ids: np.ndarray       # [3, B, S]
-    patches: np.ndarray            # [P, in_dim] window order
+    patches: np.ndarray            # [P, in_dim] window-padded slot order
     vis_pos_ids: np.ndarray        # [P, 2]
     full_seg: np.ndarray           # [P]
-    win_seg: np.ndarray            # [P]
+    vis_valid: np.ndarray          # [P] real-patch mask
     packed_idx: np.ndarray         # [B, N]
     img_slots: np.ndarray          # [B, N]
     img_valid: np.ndarray          # [B, N]
@@ -101,21 +101,20 @@ def prepare_inputs(
     grids = np.array(grids)  # [B, 3]
     patches_nat = np.concatenate(patch_list, axis=0)
     n_patches = patches_nat.shape[0]
-    padded_p = _round_up(n_patches, max(patch_multiple, mu))
+    geo0 = build_vision_geometry(grids, v.window_size, v.spatial_merge_size, v.patch_size)
+    wp = geo0.window_patches
+    bucket = max(wp, _round_up(patch_multiple, wp))
+    padded_p = _round_up(geo0.padded_len, bucket)
     geo = build_vision_geometry(
         grids, v.window_size, v.spatial_merge_size, v.patch_size, padded_len=padded_p
     )
-    patch_perm = (
-        geo.window_index[: n_patches // mu, None] * mu + np.arange(mu)[None, :]
-    ).reshape(-1)
     patches_win = np.zeros((padded_p, patches_nat.shape[1]), dtype=patches_nat.dtype)
-    patches_win[:n_patches] = patches_nat[patch_perm]
+    patches_win[geo.patch_valid] = patches_nat[geo.patch_src[geo.patch_valid]]
 
     n_img = (grids[:, 0] * grids[:, 1] * grids[:, 2]) // mu  # merged tokens/row
     N = int(n_img.max())
 
-    # packed_idx[b, j] = moff_b + rev_b[j]: natural slot j of row b -> packed
-    # window-ordered merged row (vision output order)
+    # packed_idx[b, j] = merged-slot row of natural token j of row b
     moffs = np.concatenate([[0], np.cumsum(n_img)[:-1]])
     packed_idx = np.zeros((B, N), dtype=np.int32)
 
@@ -165,7 +164,7 @@ def prepare_inputs(
     )
     for b in range(B):
         nb = int(n_img[b])
-        packed_idx[b, :nb] = moffs[b] + fuser.reverse_index[b, :nb]
+        packed_idx[b, :nb] = geo.slot_of_merged[moffs[b] : moffs[b] + nb]
 
     # ---- position ids (le slots get sequential text positions, matching
     # reference _append_le position arithmetic model_gp.py:1178-1185)
@@ -215,7 +214,7 @@ def prepare_inputs(
         patches=patches_win,
         vis_pos_ids=geo.pos_ids,
         full_seg=geo.full_segment_ids,
-        win_seg=geo.window_segment_ids,
+        vis_valid=geo.patch_valid,
         packed_idx=packed_idx,
         img_slots=img_slots,
         img_valid=img_valid,
@@ -273,7 +272,7 @@ class GlimpsePruneRunner:
                       use_ref_masks: bool):
         merged, taps = self.model.apply(
             params,
-            inputs["patches"], inputs["vis_pos_ids"], inputs["full_seg"], inputs["win_seg"],
+            inputs["patches"], inputs["vis_pos_ids"], inputs["full_seg"], inputs["vis_valid"],
             method=self.model.vision_encode,
         )
         taps = (
@@ -309,7 +308,7 @@ class GlimpsePruneRunner:
     def _staged_impl(self, params, inputs, stages, out_lens):
         merged, _ = self.model.apply(
             params, inputs["patches"], inputs["vis_pos_ids"],
-            inputs["full_seg"], inputs["win_seg"],
+            inputs["full_seg"], inputs["vis_valid"],
             method=self.model.vision_encode,
         )
 
@@ -351,7 +350,7 @@ class GlimpsePruneRunner:
         emit_imp = method == "visionzip"
         vis_out = self.model.apply(
             params, inputs["patches"], inputs["vis_pos_ids"],
-            inputs["full_seg"], inputs["win_seg"], emit_imp,
+            inputs["full_seg"], inputs["vis_valid"], emit_imp,
             method=self.model.vision_encode,
         )
         if emit_imp:
@@ -433,7 +432,7 @@ class GlimpsePruneRunner:
             "patches": jnp.asarray(prep.patches),
             "vis_pos_ids": jnp.asarray(prep.vis_pos_ids),
             "full_seg": jnp.asarray(prep.full_seg),
-            "win_seg": jnp.asarray(prep.win_seg),
+            "vis_valid": jnp.asarray(prep.vis_valid),
             "packed_idx": jnp.asarray(prep.packed_idx),
             "img_slots": jnp.asarray(prep.img_slots),
             "img_valid": jnp.asarray(prep.img_valid),
@@ -503,7 +502,7 @@ class GlimpsePruneRunner:
                 None if prep.patches is None else self._vision(
                     {"params": self.params},
                     inputs["patches"], inputs["vis_pos_ids"],
-                    inputs["full_seg"], inputs["win_seg"],
+                    inputs["full_seg"], inputs["vis_valid"],
                 )[0],
                 inputs["packed_idx"], inputs["img_slots"], inputs["img_valid"],
             )

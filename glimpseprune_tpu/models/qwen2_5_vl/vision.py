@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from glimpseprune_tpu.config import VisionConfig
 from glimpseprune_tpu.models.layers import GatedMLP, RMSNorm
-from glimpseprune_tpu.ops.attention import segment_attention
+from glimpseprune_tpu.ops.attention import batched_window_attention, segment_attention
 from glimpseprune_tpu.ops.rope import apply_rotary, vision_rope_cos_sin
 
 
@@ -27,8 +27,10 @@ class VisionAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
+    window_patches: int = 0  # >0: dense batched window attention path
+
     @nn.compact
-    def __call__(self, x, cos, sin, segment_ids, emit_importance: bool = False):
+    def __call__(self, x, cos, sin, segment_ids, valid, emit_importance: bool = False):
         c = self.cfg
         p = x.shape[0]
         qkv = nn.Dense(3 * c.hidden_size, use_bias=True, dtype=self.dtype,
@@ -37,7 +39,10 @@ class VisionAttention(nn.Module):
         q, k, v = q[:, 0], k[:, 0], v[:, 0]  # [P, H, D]
         q = apply_rotary(q[None], cos[None], sin[None])[0]
         k = apply_rotary(k[None], cos[None], sin[None])[0]
-        out = segment_attention(q, k, v, segment_ids)
+        if self.window_patches > 0:
+            out = batched_window_attention(q, k, v, valid, self.window_patches)
+        else:
+            out = segment_attention(q, k, v, segment_ids)
         out = out.reshape(p, c.hidden_size)
 
         importance = None
@@ -71,12 +76,14 @@ class VisionBlock(nn.Module):
     cfg: VisionConfig
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    window_patches: int = 0
 
     @nn.compact
-    def __call__(self, x, cos, sin, segment_ids, emit_importance: bool = False):
+    def __call__(self, x, cos, sin, segment_ids, valid, emit_importance: bool = False):
         c = self.cfg
-        attn_out = VisionAttention(c, dtype=self.dtype, param_dtype=self.param_dtype, name="attn")(
-            RMSNorm(c.hidden_size, 1e-6, name="norm1")(x), cos, sin, segment_ids,
+        attn_out = VisionAttention(c, dtype=self.dtype, param_dtype=self.param_dtype,
+                                   window_patches=self.window_patches, name="attn")(
+            RMSNorm(c.hidden_size, 1e-6, name="norm1")(x), cos, sin, segment_ids, valid,
             emit_importance=emit_importance,
         )
         importance = None
@@ -113,11 +120,11 @@ class PatchMerger(nn.Module):
 class VisionTransformer(nn.Module):
     """Packed, window-ordered ViT.
 
-    Inputs (all window order, padded to a static bucket):
-      patches   [P, in_dim]
+    Inputs (window-padded slot layout, preprocessing/geometry.py):
+      patches   [P, in_dim]  P = n_windows * window_patches
       pos_ids   [P, 2]       RoPE (h, w) ids
-      full_seg  [P]          segment ids for full-attention blocks
-      win_seg   [P]          segment ids for windowed blocks
+      full_seg  [P]          image ids for full-attention blocks (-1 = pad)
+      valid     [P]          real-patch mask
 
     Returns:
       merged [P//merge_unit, out_hidden]  (window order)
@@ -130,9 +137,11 @@ class VisionTransformer(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, patches, pos_ids, full_seg, win_seg, emit_importance: bool = False):
+    def __call__(self, patches, pos_ids, full_seg, valid, emit_importance: bool = False):
         c = self.cfg
         mu = c.spatial_merge_unit
+        win = c.window_size // c.spatial_merge_size // c.patch_size
+        wp = win * win * mu
         x = nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="patch_embed")(
             patches.astype(self.dtype)
@@ -144,10 +153,11 @@ class VisionTransformer(nn.Module):
         taps: List[Optional[jnp.ndarray]] = [None] * len(self.tap_layers)
         importance = None
         for i in range(c.depth):
-            seg = full_seg if i in c.fullatt_block_indexes else win_seg
+            is_full = i in c.fullatt_block_indexes
             want_imp = emit_importance and i == c.depth - 1
             out = VisionBlock(c, dtype=self.dtype, param_dtype=self.param_dtype,
-                              name=f"blocks_{i}")(x, cos, sin, seg,
+                              window_patches=0 if is_full else wp,
+                              name=f"blocks_{i}")(x, cos, sin, full_seg, valid,
                                                   emit_importance=want_imp)
             x = out[0] if want_imp else out
             if want_imp:

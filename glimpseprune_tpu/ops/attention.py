@@ -58,6 +58,30 @@ def segment_attention(
     return out[0].transpose(1, 0, 2)
 
 
+def batched_window_attention(
+    q: jnp.ndarray,  # [P, H, D]   P = n_windows * wp (window-padded layout)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    valid: jnp.ndarray,  # [P] bool
+    wp: int,
+) -> jnp.ndarray:
+    """Dense attention within fixed-size windows: [n_win, wp] batched matmuls.
+
+    The TPU-native form of the ViT's windowed attention — no [P, P] mask, the
+    window dimension maps straight onto the MXU. Pad slots attend to
+    themselves only (identity) so softmax stays defined.
+    """
+    p, h, d = q.shape
+    nw = p // wp
+    qw = q.reshape(nw, wp, h, d).transpose(0, 2, 1, 3)  # [nw, H, wp, D]
+    kw = k.reshape(nw, wp, h, d).transpose(0, 2, 1, 3)
+    vw = v.reshape(nw, wp, h, d).transpose(0, 2, 1, 3)
+    vmask = valid.reshape(nw, wp)
+    allowed = vmask[:, None, :] | jnp.eye(wp, dtype=bool)[None]  # [nw, wp, wp]
+    out = _softmax_attend(qw, kw, vw, allowed[:, None])
+    return out.transpose(0, 2, 1, 3).reshape(p, h, d)
+
+
 def causal_segment_attention(
     q: jnp.ndarray,  # [B, S, Hq, D]
     k: jnp.ndarray,  # [B, S, Hkv, D]

@@ -111,7 +111,7 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh, batch_axes: Optional[Dict[str
     repl = NamedSharding(mesh, P())
     data0 = NamedSharding(mesh, P("data"))
     data1 = NamedSharding(mesh, P(None, "data"))
-    packed_keys = {"patches", "vis_pos_ids", "full_seg", "win_seg"}
+    packed_keys = {"patches", "vis_pos_ids", "full_seg", "vis_valid"}
 
     out = {}
     dsize = mesh.shape["data"]

@@ -105,31 +105,35 @@ def vision_pos_ids(grid_thw: np.ndarray, spatial_merge_size: int) -> np.ndarray:
 class VisionGeometry:
     """Everything the jitted ViT needs, precomputed from grid_thw.
 
-    All arrays are already padded to `padded_len` patches so the ViT compiles
-    once per (padded_len,) bucket. `num_patches` is the true length.
+    **Window-padded layout** (TPU-native): every attention window occupies
+    exactly `window_patches` consecutive slots (edge windows padded), so
+    windowed blocks run as a dense batched [n_windows, wp] attention — no
+    big masks, MXU-shaped — and only the few full-attention blocks need
+    segment masking. The reference instead packs variable-length windows and
+    loops cu_seqlens (model_gp.py:1760-1801).
+
+    Arrays over `padded_len` slots (= n_windows * window_patches, rounded up
+    to the bucket):
+      patch_src        [padded_len]  natural patch index per slot, -1 = pad
+      full_segment_ids [padded_len]  image/frame id per slot, -1 = pad
+      pos_ids          [padded_len, 2] RoPE (h, w) ids (0 at pads)
+      patch_valid      [padded_len]  bool
+      slot_of_merged   [n_merged_real] natural merged token -> merged-slot row
     """
 
-    grid_thw: np.ndarray                # [num_images, 3]
-    num_patches: int                    # true total patch count
-    padded_len: int                     # static bucket length (multiple of merge_unit)
-    window_index: np.ndarray            # [padded_len // merge_unit] permutation (merged tokens)
-    reverse_index: np.ndarray           # inverse permutation
-    full_segment_ids: np.ndarray        # [padded_len] per-patch, in *window order*
-    window_segment_ids: np.ndarray      # [padded_len] per-patch, in *window order*
-    pos_ids: np.ndarray                 # [padded_len, 2] RoPE hw ids, in *window order*
-    patch_valid: np.ndarray             # [padded_len] bool, in window order
-    merged_valid: np.ndarray            # [padded_len // merge_unit] bool, natural order
+    grid_thw: np.ndarray
+    num_patches: int
+    padded_len: int
+    window_patches: int                 # wp: patches per window (static)
+    patch_src: np.ndarray
+    full_segment_ids: np.ndarray
+    pos_ids: np.ndarray
+    patch_valid: np.ndarray
+    slot_of_merged: np.ndarray
 
     @property
-    def num_merged_tokens(self) -> int:
-        return self.num_patches // (self.padded_len // len(self.window_index))
-
-
-def _pad_to(x: np.ndarray, n: int, fill) -> np.ndarray:
-    if len(x) >= n:
-        return x[:n]
-    pad_shape = (n - len(x),) + x.shape[1:]
-    return np.concatenate([x, np.full(pad_shape, fill, dtype=x.dtype)], axis=0)
+    def n_windows(self) -> int:
+        return self.padded_len // self.window_patches
 
 
 def build_vision_geometry(
@@ -139,53 +143,75 @@ def build_vision_geometry(
     patch_size: int,
     padded_len: int = None,
 ) -> VisionGeometry:
-    """Precompute the full window-ordered geometry for one packed batch of images.
+    """Window-padded packed geometry for one batch of images.
 
-    The returned segment-id arrays are in *window order* (i.e. after applying
-    window_index to merge-unit groups), which is the order the ViT runs in.
-    Padding patches get segment id -1 (attends to nothing but itself slot via
-    mask) and valid=False.
+    Slot layout: images in order; per image, windows row-major; per window,
+    merged tokens in raster order padded to win*win merged slots; per merged
+    token its merge_unit patches. `padded_len` (if given) must be a multiple
+    of window_patches; extra slots become whole pad windows.
     """
     grid_thw = np.asarray(grid_thw)
-    merge_unit = spatial_merge_size * spatial_merge_size
+    mu = spatial_merge_size * spatial_merge_size
+    win = window_size // spatial_merge_size // patch_size  # merged tokens/side
+    wp = win * win * mu  # patches per window
     num_patches = int((grid_thw[:, 0] * grid_thw[:, 1] * grid_thw[:, 2]).sum())
+    n_merged_real = num_patches // mu
+
+    # natural merged index grid per image -> window-padded slot order
+    merged_src_parts: List[np.ndarray] = []  # natural merged idx per merged slot
+    seg_parts: List[np.ndarray] = []
+    base = 0
+    for img_id, (t, h, w) in enumerate(grid_thw):
+        lh, lw = int(h) // spatial_merge_size, int(w) // spatial_merge_size
+        for tt in range(int(t)):
+            idx = base + tt * lh * lw + np.arange(lh * lw).reshape(lh, lw)
+            pad_h = (-lh) % win
+            pad_w = (-lw) % win
+            idx_p = np.full((lh + pad_h, lw + pad_w), -1, dtype=np.int64)
+            idx_p[:lh, :lw] = idx
+            nwh, nww = (lh + pad_h) // win, (lw + pad_w) // win
+            idx_p = idx_p.reshape(nwh, win, nww, win).transpose(0, 2, 1, 3).reshape(-1)
+            merged_src_parts.append(idx_p)
+            seg_parts.append(np.where(idx_p >= 0, img_id, -1))
+        base += int(t) * lh * lw
+    merged_src = np.concatenate(merged_src_parts)  # [n_merged_slots]
+    merged_seg = np.concatenate(seg_parts)
+
+    n_merged_slots = len(merged_src)
+    real_len = n_merged_slots * mu
     if padded_len is None:
-        padded_len = num_patches
-    assert padded_len % merge_unit == 0 and padded_len >= num_patches
+        padded_len = real_len
+    assert padded_len % wp == 0 and padded_len >= real_len, (padded_len, real_len, wp)
+    n_slots_padded = padded_len // mu
+    pad_n = n_slots_padded - n_merged_slots
+    merged_src = np.concatenate([merged_src, np.full(pad_n, -1, dtype=np.int64)])
+    merged_seg = np.concatenate([merged_seg, np.full(pad_n, -1, dtype=np.int32)])
 
-    window_index, cu_window = get_window_index(
-        grid_thw, window_size, spatial_merge_size, patch_size
-    )
-    cu_full = cu_seqlens_from_grid(grid_thw)
+    # patch-level arrays
+    patch_src = np.where(
+        merged_src[:, None] >= 0,
+        merged_src[:, None] * mu + np.arange(mu)[None, :],
+        -1,
+    ).reshape(-1).astype(np.int32)
+    full_seg = np.repeat(merged_seg, mu).astype(np.int32)
+    patch_valid = patch_src >= 0
 
-    # per-patch segment ids in *natural* order
-    full_seg_nat = segment_ids_from_cu_seqlens(cu_full, num_patches)
-    # window segmentation is defined over the *window-ordered* sequence
-    window_seg_win = segment_ids_from_cu_seqlens(cu_window, num_patches)
+    pos_nat = vision_pos_ids(grid_thw, spatial_merge_size)  # [num_patches, 2]
+    pos = np.zeros((padded_len, 2), dtype=np.int32)
+    pos[patch_valid] = pos_nat[patch_src[patch_valid]]
 
-    # natural -> window permutation at patch level
-    patch_perm = (
-        window_index[:, None] * merge_unit + np.arange(merge_unit)[None, :]
-    ).reshape(-1)
-    full_seg_win = full_seg_nat[patch_perm]
+    slot_of_merged = np.full(n_merged_real, -1, dtype=np.int32)
+    real_slots = np.nonzero(merged_src >= 0)[0]
+    slot_of_merged[merged_src[real_slots]] = real_slots
 
-    pos_nat = vision_pos_ids(grid_thw, spatial_merge_size)
-    pos_win = pos_nat[patch_perm]
-
-    n_merged = num_patches // merge_unit
-    n_merged_padded = padded_len // merge_unit
-    reverse_index = np.argsort(window_index).astype(np.int32)
-
-    geo = VisionGeometry(
+    return VisionGeometry(
         grid_thw=grid_thw,
         num_patches=num_patches,
         padded_len=padded_len,
-        window_index=_pad_to(window_index, n_merged_padded, n_merged),
-        reverse_index=_pad_to(reverse_index, n_merged_padded, n_merged),
-        full_segment_ids=_pad_to(full_seg_win, padded_len, -1),
-        window_segment_ids=_pad_to(window_seg_win, padded_len, -1),
-        pos_ids=_pad_to(pos_win, padded_len, 0),
-        patch_valid=_pad_to(np.ones(num_patches, dtype=bool), padded_len, False),
-        merged_valid=_pad_to(np.ones(n_merged, dtype=bool), n_merged_padded, False),
+        window_patches=wp,
+        patch_src=patch_src,
+        full_segment_ids=full_seg,
+        pos_ids=pos,
+        patch_valid=patch_valid,
+        slot_of_merged=slot_of_merged,
     )
-    return geo

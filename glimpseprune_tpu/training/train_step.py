@@ -60,7 +60,7 @@ def make_train_step(
         params = {**frozen, **trainable}
         merged, taps = model.apply(
             {"params": params},
-            batch["patches"], batch["vis_pos_ids"], batch["full_seg"], batch["win_seg"],
+            batch["patches"], batch["vis_pos_ids"], batch["full_seg"], batch["vis_valid"],
             method=model.vision_encode,
         )
         taps = jnp.stack(taps, axis=0)

@@ -108,7 +108,7 @@ def harness():
         jnp.asarray(prep.input_ids), jnp.asarray(prep.valid),
         jnp.asarray(prep.position_ids), jnp.asarray(prep.patches),
         jnp.asarray(prep.vis_pos_ids), jnp.asarray(prep.full_seg),
-        jnp.asarray(prep.win_seg), jnp.asarray(prep.packed_idx),
+        jnp.asarray(prep.vis_valid), jnp.asarray(prep.packed_idx),
         jnp.asarray(prep.img_slots), jnp.asarray(prep.img_valid),
         jnp.asarray(prep.fuser.window_index), jnp.asarray(prep.fuser.reverse_index),
         jnp.asarray(prep.fuser.segment_ids), jnp.asarray(prep.fuser.pos_ids),

@@ -52,7 +52,7 @@ def setup():
         jnp.asarray(prep.patches),
         jnp.asarray(prep.vis_pos_ids),
         jnp.asarray(prep.full_seg),
-        jnp.asarray(prep.win_seg),
+        jnp.asarray(prep.vis_valid),
         jnp.asarray(prep.packed_idx),
         jnp.asarray(prep.img_slots),
         jnp.asarray(prep.img_valid),

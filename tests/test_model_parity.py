@@ -75,23 +75,21 @@ def test_vision_parity(hf_model):
 
     geo = build_vision_geometry(grids, window_size=56, spatial_merge_size=2, patch_size=14)
     mu = 4
-    patch_perm = (
-        geo.window_index[:, None] * mu + np.arange(mu)[None, :]
-    ).reshape(-1)
-    patches_win = patches[patch_perm]
+    patches_win = np.zeros((geo.padded_len, patches.shape[1]), dtype=patches.dtype)
+    patches_win[geo.patch_valid] = patches[geo.patch_src[geo.patch_valid]]
 
     vit = VisionTransformer(cfg.vision, tap_layers=(1, 3))
-    merged_win, taps = vit.apply(
+    merged_slots, taps = vit.apply(
         {"params": params["visual"]},
         jnp.array(patches_win),
         jnp.array(geo.pos_ids),
         jnp.array(geo.full_segment_ids),
-        jnp.array(geo.window_segment_ids),
+        jnp.array(geo.patch_valid),
     )
-    # back to natural order for comparison
-    merged_nat = np.asarray(merged_win)[geo.reverse_index]
+    # gather real merged tokens in natural order for comparison
+    merged_nat = np.asarray(merged_slots)[geo.slot_of_merged]
     np.testing.assert_allclose(merged_nat, hf_out, rtol=2e-4, atol=2e-4)
-    assert taps[0].shape == (n_patches // mu, 32)
+    assert taps[0].shape == (geo.padded_len // mu, 32)
 
 
 def test_text_parity_full_prefill(hf_model):

@@ -180,14 +180,21 @@ def test_get_rope_index_matches_hf():
     np.testing.assert_array_equal(ours_delta, hf_delta.numpy())
 
 
-def test_build_vision_geometry_padding():
+def test_build_vision_geometry_window_padding():
+    # merged grid 2x3, window side 2 -> windows of 4 merged slots (16 patches),
+    # 1x2 windows with edge padding -> 2 windows = 8 merged slots
     grids = np.array([[1, 4, 6]])
-    geo = build_vision_geometry(grids, window_size=56, spatial_merge_size=2, patch_size=14, padded_len=32)
+    geo = build_vision_geometry(grids, window_size=56, spatial_merge_size=2, patch_size=14)
     assert geo.num_patches == 24
-    assert geo.padded_len == 32
+    assert geo.window_patches == 16
+    assert geo.padded_len == 2 * 16
     assert geo.patch_valid.sum() == 24
-    assert geo.merged_valid.sum() == 6
-    assert (geo.full_segment_ids[24:] == -1).all()
-    # permutation is a bijection over real tokens
-    wi = geo.window_index[: 24 // 4]
-    assert sorted(wi.tolist()) == list(range(6))
+    # every real merged token has a unique slot; pads marked -1
+    assert sorted(geo.patch_src[geo.patch_valid].tolist()) == list(range(24))
+    assert len(set(geo.slot_of_merged.tolist())) == 6
+    assert (geo.full_segment_ids[~geo.patch_valid] == -1).all()
+    # explicit bucket rounds up by whole windows
+    geo2 = build_vision_geometry(
+        grids, window_size=56, spatial_merge_size=2, patch_size=14, padded_len=64
+    )
+    assert geo2.padded_len == 64 and geo2.patch_valid.sum() == 24

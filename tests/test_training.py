@@ -44,7 +44,7 @@ def build_batch(cfg, rng, with_labels=True):
         "patches": jnp.asarray(prep.patches),
         "vis_pos_ids": jnp.asarray(prep.vis_pos_ids),
         "full_seg": jnp.asarray(prep.full_seg),
-        "win_seg": jnp.asarray(prep.win_seg),
+        "vis_valid": jnp.asarray(prep.vis_valid),
         "packed_idx": jnp.asarray(prep.packed_idx),
         "img_slots": jnp.asarray(prep.img_slots),
         "img_valid": jnp.asarray(prep.img_valid),
@@ -67,7 +67,7 @@ def init_params(cfg, prep):
         jnp.asarray(prep.input_ids), jnp.asarray(prep.valid),
         jnp.asarray(prep.position_ids), jnp.asarray(prep.patches),
         jnp.asarray(prep.vis_pos_ids), jnp.asarray(prep.full_seg),
-        jnp.asarray(prep.win_seg), jnp.asarray(prep.packed_idx),
+        jnp.asarray(prep.vis_valid), jnp.asarray(prep.packed_idx),
         jnp.asarray(prep.img_slots), jnp.asarray(prep.img_valid),
         jnp.asarray(prep.fuser.window_index), jnp.asarray(prep.fuser.reverse_index),
         jnp.asarray(prep.fuser.segment_ids), jnp.asarray(prep.fuser.pos_ids),
