@@ -1,0 +1,111 @@
+"""Short-form VQA scoring: the in-process replacement for the reference's
+lmms-eval plugin (my_lmms_eval/, SURVEY.md §2.6).
+
+lmms-eval is torch/accelerate-entangled; the tasks the reference runs
+(eval_qwen_gp.sh:96-107) reduce to three metric families which we implement
+directly over the same (response, answer) records:
+
+- exact-match VQA accuracy with normalization (gqa, vqav2-style)
+- yes/no accuracy + F1 (pope)
+- multiple-choice letter accuracy (mmbench, seedbench, scienceqa, vstar)
+"""
+
+from __future__ import annotations
+
+import re
+import string
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from glimpseprune_tpu.evalsuite.scorers import _CHOICE_PATTERNS
+
+_ARTICLES = {"a", "an", "the"}
+
+
+def normalize_vqa_answer(text: str) -> str:
+    """Lowercase, strip punctuation/articles, collapse whitespace (the usual
+    VQA-v2 normalization)."""
+    text = (text or "").lower().strip()
+    text = text.translate(str.maketrans("", "", string.punctuation))
+    words = [w for w in text.split() if w not in _ARTICLES]
+    return " ".join(words)
+
+
+def exact_match_accuracy(responses: Sequence[str], answers: Sequence[str]) -> float:
+    hits = [
+        normalize_vqa_answer(r) == normalize_vqa_answer(a)
+        for r, a in zip(responses, answers)
+    ]
+    return float(np.mean(hits)) if hits else 0.0
+
+
+def yes_no_metrics(responses: Sequence[str], answers: Sequence[str]) -> Dict[str, float]:
+    """POPE-style: accuracy, precision, recall, F1 on the 'yes' class."""
+
+    def to_label(t: str) -> Optional[bool]:
+        t = (t or "").lower()
+        if re.search(r"\byes\b", t):
+            return True
+        if re.search(r"\bno\b", t):
+            return False
+        return None
+
+    tp = fp = fn = tn = 0
+    correct = 0
+    for r, a in zip(responses, answers):
+        pr, gt = to_label(r), to_label(a)
+        if pr is not None and pr == gt:
+            correct += 1
+        if gt is True and pr is True:
+            tp += 1
+        elif gt is False and pr is True:
+            fp += 1
+        elif gt is True and (pr is False or pr is None):
+            fn += 1
+        else:
+            tn += 1
+    n = max(len(responses), 1)
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    return {
+        "accuracy": correct / n,
+        "precision": precision,
+        "recall": recall,
+        "f1": 2 * precision * recall / max(precision + recall, 1e-9),
+    }
+
+
+def multiple_choice_accuracy(responses: Sequence[str], answers: Sequence[str]) -> float:
+    hits = []
+    for r, a in zip(responses, answers):
+        a = (a or "").strip().upper()
+        extracted = None
+        for pat in _CHOICE_PATTERNS:
+            m = re.search(pat, r or "", re.IGNORECASE)
+            if m:
+                extracted = m.group(1).upper()
+                break
+        hits.append(extracted == a)
+    return float(np.mean(hits)) if hits else 0.0
+
+
+TASK_METRICS = {
+    "gqa": exact_match_accuracy,
+    "vqav2": exact_match_accuracy,
+    "vizwiz": exact_match_accuracy,
+    "textvqa": exact_match_accuracy,
+    "pope": yes_no_metrics,
+    "mmbench": multiple_choice_accuracy,
+    "seedbench": multiple_choice_accuracy,
+    "scienceqa_img": multiple_choice_accuracy,
+    "vstar": multiple_choice_accuracy,
+}
+
+
+def score_shortform(task: str, responses: Sequence[str], answers: Sequence[str]):
+    try:
+        fn = TASK_METRICS[task]
+    except KeyError:
+        raise KeyError(f"Unknown short-form task {task!r}; known: {sorted(TASK_METRICS)}")
+    return fn(responses, answers)

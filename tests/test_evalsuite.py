@@ -1,0 +1,187 @@
+"""Eval harness: data loading, end-to-end inference artifacts, scorers."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from glimpseprune_tpu.config import tiny_test_config
+from glimpseprune_tpu.evalsuite import (
+    InferenceConfig,
+    load_benchmark,
+    run_inference,
+    score_results,
+    shard_for_host,
+)
+from glimpseprune_tpu.evalsuite.judge import extract_score
+from glimpseprune_tpu.evalsuite.scorers import (
+    extract_one_bbox_from_str,
+    one_box_iou05,
+    single_choice,
+)
+from glimpseprune_tpu.evalsuite.shortform import (
+    exact_match_accuracy,
+    score_shortform,
+    yes_no_metrics,
+)
+from glimpseprune_tpu.models.qwen2_5_vl.runner import GlimpsePruneRunner
+
+
+def make_benchmark(tmp_path, n=4):
+    """Synthesize a VisCoT-format benchmark + images on disk."""
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "images"
+    os.makedirs(img_dir / "cot", exist_ok=True)
+    data = []
+    from PIL import Image
+
+    for i in range(n):
+        name = f"cot/{i}.jpg"
+        arr = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / name)
+        data.append(
+            {
+                "dataset": "toy",
+                "question_id": i,
+                "image": [name, f"{name}###[10, 10, 40, 40]"],
+                "conversations": [
+                    {"from": "human", "value": f"<image>\nWhat is object {i}?"},
+                    {"from": "gpt", "value": "[0.1, 0.1, 0.4, 0.4]"},
+                    {"from": "human", "value": "<image>"},
+                    {"from": "gpt", "value": f"thing{i}"},
+                ],
+            }
+        )
+    json_path = tmp_path / "toy.json"
+    with open(json_path, "w") as f:
+        json.dump(data, f)
+    return str(json_path), str(img_dir)
+
+
+def test_load_benchmark_and_shard(tmp_path):
+    json_path, img_dir = make_benchmark(tmp_path)
+    samples = load_benchmark(json_path, img_dir, mapper="cot_bench")
+    assert len(samples) == 4
+    s = samples[0]
+    assert "What is object 0?" in s.query and "single word" in s.query
+    assert s.answer == "thing0"
+    assert s.normed_bboxes is not None
+    np.testing.assert_allclose(s.normed_bboxes[0], [10 / 96, 10 / 64, 40 / 96, 40 / 64])
+
+    shards = [shard_for_host(samples, h, 3) for h in range(3)]
+    assert sum(len(x) for x in shards) == 4
+    assert [s.sample_id for sh in shards for s in sh] == [0, 1, 2, 3]
+
+
+@pytest.fixture(scope="module")
+def runner():
+    import test_gp_pipeline as g
+
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(0)
+    prompts = g.make_prompts(cfg, rng)
+    images = [g.make_image(rng, 64, 96), g.make_image(rng, 56, 56)]
+    from glimpseprune_tpu.models.qwen2_5_vl.gp_model import Qwen2_5_VL_GP
+    from glimpseprune_tpu.models.qwen2_5_vl.runner import prepare_inputs
+
+    prep = prepare_inputs(cfg, prompts, images, seq_multiple=8, patch_multiple=16)
+    model = Qwen2_5_VL_GP(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(prep.input_ids), jnp.asarray(prep.valid),
+        jnp.asarray(prep.position_ids), jnp.asarray(prep.patches),
+        jnp.asarray(prep.vis_pos_ids), jnp.asarray(prep.full_seg),
+        jnp.asarray(prep.vis_valid), jnp.asarray(prep.packed_idx),
+        jnp.asarray(prep.img_slots), jnp.asarray(prep.img_valid),
+        jnp.asarray(prep.fuser.window_index), jnp.asarray(prep.fuser.reverse_index),
+        jnp.asarray(prep.fuser.segment_ids), jnp.asarray(prep.fuser.pos_ids),
+        jnp.asarray(prep.le_start), prep.out_len,
+    )
+    return GlimpsePruneRunner(cfg, variables["params"])
+
+
+def fake_tokenize(text):
+    return [5 + (ord(c) % 200) for c in text[:12]]
+
+
+def fake_detokenize(ids):
+    return " ".join(str(i) for i in ids)
+
+
+def test_run_inference_generate_and_resume(tmp_path, runner):
+    json_path, img_dir = make_benchmark(tmp_path)
+    samples = load_benchmark(json_path, img_dir)
+    cfg = InferenceConfig(task="generate", max_new_tokens=4, batch_size=2, save_masks=True)
+    out = run_inference(
+        runner, samples, str(tmp_path / "out"), "toy", cfg,
+        tokenize=fake_tokenize, detokenize=fake_detokenize,
+    )
+    rows = [json.loads(l) for l in open(out)]
+    assert len(rows) == 4
+    assert all(r["response"] is not None for r in rows)
+    assert all("iou" in r for r in rows)  # bbox metrics present
+    assert all("keep_mask" in r for r in rows)
+    info = json.load(open(out.replace(".jsonl", "_info.json")))
+    assert info["num_samples"] == 4 and info["mean_iou"] is not None
+    assert "time_ms" in info["logger_stats"]
+
+    # resume: second call returns without rewriting
+    mtime = os.path.getmtime(out)
+    out2 = run_inference(
+        runner, samples, str(tmp_path / "out"), "toy", cfg,
+        tokenize=fake_tokenize, detokenize=fake_detokenize,
+    )
+    assert out2 == out and os.path.getmtime(out) == mtime
+
+
+def test_run_inference_glimpse_task(tmp_path, runner):
+    json_path, img_dir = make_benchmark(tmp_path)
+    samples = load_benchmark(json_path, img_dir)
+    cfg = InferenceConfig(task="glimpse", batch_size=2)
+    out = run_inference(
+        runner, samples, str(tmp_path / "outg"), "toy", cfg,
+        tokenize=fake_tokenize, detokenize=fake_detokenize,
+    )
+    rows = [json.loads(l) for l in open(out)]
+    assert all(r["response"] is None for r in rows)
+    assert all(0 <= r["mask_ratio"] <= 1 for r in rows)
+
+
+def test_score_results_offline_and_resume(tmp_path, runner):
+    json_path, img_dir = make_benchmark(tmp_path)
+    samples = load_benchmark(json_path, img_dir)
+    cfg = InferenceConfig(task="generate", max_new_tokens=4, batch_size=2)
+    out = run_inference(
+        runner, samples, str(tmp_path / "outs"), "toy", cfg,
+        tokenize=fake_tokenize, detokenize=fake_detokenize,
+    )
+    summary = score_results(out, scorer="precise_match")
+    assert summary["num_scored"] == 4
+    assert 0.0 <= summary["mean_score"] <= 1.0
+    # resume does not rescore
+    summary2 = score_results(out, scorer="dummy_score")
+    assert summary2["mean_score"] == summary["mean_score"]
+
+
+def test_offline_scorers():
+    assert single_choice(["q"], ["B"], ["The answer is B."]) == [1.0]
+    assert single_choice(["q"], ["B"], ["(C)"]) == [0.0]
+    assert extract_one_bbox_from_str("box: [0.1, 0.2, 0.5, 0.6] end") == [0.1, 0.2, 0.5, 0.6]
+    assert one_box_iou05(["q"], [[0.1, 0.1, 0.5, 0.5]], ["[0.1, 0.1, 0.5, 0.5]"]) == [1.0]
+    assert one_box_iou05(["q"], [[0.1, 0.1, 0.5, 0.5]], ["[0.6, 0.6, 0.9, 0.9]"]) == [0.0]
+    assert extract_score("blah score: 0.75") == 0.75
+    assert extract_score("no score here") == 0.0
+    assert extract_score("score: 1.5") == 1.0
+
+
+def test_shortform_metrics():
+    assert exact_match_accuracy(["The Cat.", "dog"], ["cat", "bird"]) == 0.5
+    m = yes_no_metrics(["Yes", "no", "yes"], ["yes", "yes", "no"])
+    assert m["accuracy"] == pytest.approx(1 / 3)
+    assert score_shortform("mmbench", ["Answer: C"], ["C"]) == 1.0
+    with pytest.raises(KeyError):
+        score_shortform("nope", [], [])
