@@ -115,7 +115,8 @@ def run(scale: str):
         inputs = dict(inputs)
         inputs["patches"] = inputs["patches"] + i * 1e-6
         out = runner._prefill_impl(params, inputs, out_len, False)
-        return out.logits.astype(jnp.float32)[0, -1, :8].sum()
+        return (out.logits.astype(jnp.float32)[0, -1, :8].sum()
+                + out.kv_k.astype(jnp.float32).sum() * 1e-12)
 
     le_len = cfg.gp.le_length
     vanilla_static = {
@@ -131,12 +132,13 @@ def run(scale: str):
             inputs["full_seg"], inputs["vis_valid"],
             method=runner.model.vision_encode,
         )
-        logits, _, _ = runner.model.apply(
+        logits, kv_k, kv_v = runner.model.apply(
             params, vanilla["input_ids"], vanilla["valid"], vanilla["position_ids"],
             merged, inputs["packed_idx"], inputs["img_slots"], inputs["img_valid"],
             method=runner.model.vanilla_prefill,
         )
-        return logits.astype(jnp.float32)[0, -1, :8].sum()
+        return (logits.astype(jnp.float32)[0, -1, :8].sum()
+                + kv_k.astype(jnp.float32).sum() * 1e-12)
 
     trivial = jax.jit(lambda x: x + 1)
     float(trivial(jnp.zeros(8))[0])

@@ -69,6 +69,9 @@ class TextConfig:
     mrope_section: Tuple[int, ...] = (16, 24, 24)
     max_position_embeddings: int = 128000
     tie_word_embeddings: bool = False
+    # Llama-family knobs: no qkv bias, plain 1-D rope (expressed as a single
+    # mrope section spanning head_dim//2 with identical position channels)
+    attention_bias: bool = True
 
     def __post_init__(self):
         object.__setattr__(self, "mrope_section", _tupled(self.mrope_section))

@@ -1,0 +1,135 @@
+"""CLIP ViT-L vision tower (LLaVA-1.5's frozen encoder) with feature taps.
+
+Architecture matches openai/clip-vit-large-patch14-336 as used by the
+reference (llava/model/multimodal_encoder/clip_encoder.py): conv patch embed
++ CLS token + learned position embeddings, pre-norm blocks with quick-gelu
+MLPs, penultimate-layer patch features for the projector (`feature_select`,
+clip_encoder.py:35), plus hidden-state taps at `selected_visual_layers` for
+the GP fuser (reference llava_gp encode_images, llava_llama.py:741-751).
+Fixed 24x24 grid -> plain batched [B, 577, D] tensors, no packing needed.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class CLIPVisionConfig:
+    pass  # sizes live in LlavaConfig.vision (see gp_model.py)
+
+
+class CLIPAttention(nn.Module):
+    hidden_size: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, s, _ = x.shape
+        hd = self.hidden_size // self.num_heads
+        kw = dict(use_bias=True, dtype=self.dtype, param_dtype=self.param_dtype)
+        q = nn.Dense(self.hidden_size, name="q_proj", **kw)(x).reshape(b, s, self.num_heads, hd)
+        k = nn.Dense(self.hidden_size, name="k_proj", **kw)(x).reshape(b, s, self.num_heads, hd)
+        v = nn.Dense(self.hidden_size, name="v_proj", **kw)(x).reshape(b, s, self.num_heads, hd)
+        scale = 1.0 / jnp.sqrt(jnp.float32(hd))
+        logits = jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32) * scale
+        probs = nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhst,bthd->bshd", probs, v).reshape(b, s, self.hidden_size)
+        return nn.Dense(self.hidden_size, name="out_proj", **kw)(out)
+
+
+class CLIPMLP(nn.Module):
+    hidden_size: int
+    intermediate_size: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kw = dict(use_bias=True, dtype=self.dtype, param_dtype=self.param_dtype)
+        h = nn.Dense(self.intermediate_size, name="fc1", **kw)(x)
+        h = h * nn.sigmoid(1.702 * h)  # quick_gelu
+        return nn.Dense(self.hidden_size, name="fc2", **kw)(h)
+
+
+class CLIPBlock(nn.Module):
+    hidden_size: int
+    num_heads: int
+    intermediate_size: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ln = dict(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)
+        x = x + CLIPAttention(self.hidden_size, self.num_heads, self.dtype,
+                              self.param_dtype, name="self_attn")(
+            nn.LayerNorm(name="layer_norm1", **ln)(x)
+        )
+        x = x + CLIPMLP(self.hidden_size, self.intermediate_size, self.dtype,
+                        self.param_dtype, name="mlp")(
+            nn.LayerNorm(name="layer_norm2", **ln)(x)
+        )
+        return x
+
+
+class CLIPVisionTower(nn.Module):
+    """Returns (patch features [B, G*G, D] from `feature_layer`, taps)."""
+
+    depth: int = 24
+    hidden_size: int = 1024
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    patch_size: int = 14
+    image_size: int = 336
+    feature_layer: int = -2            # penultimate (llava default)
+    tap_layers: Tuple[int, ...] = ()
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixels: jnp.ndarray):
+        """pixels [B, H, W, C] normalized."""
+        b = pixels.shape[0]
+        g = self.image_size // self.patch_size
+        x = nn.Conv(
+            self.hidden_size,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="patch_embedding",
+        )(pixels.astype(self.dtype))
+        x = x.reshape(b, g * g, self.hidden_size)
+        cls = self.param(
+            "class_embedding", nn.initializers.normal(0.02), (self.hidden_size,),
+            self.param_dtype,
+        )
+        cls = jnp.broadcast_to(cls[None, None].astype(x.dtype), (b, 1, self.hidden_size))
+        x = jnp.concatenate([cls, x], axis=1)
+        pos = self.param(
+            "position_embedding", nn.initializers.normal(0.02),
+            (g * g + 1, self.hidden_size), self.param_dtype,
+        )
+        x = x + pos[None].astype(x.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
+                         name="pre_layrnorm")(x)
+
+        feature_layer = self.feature_layer % self.depth
+        taps: List[Optional[jnp.ndarray]] = [None] * len(self.tap_layers)
+        features = None
+        for i in range(self.depth):
+            x = CLIPBlock(
+                self.hidden_size, self.num_heads, self.intermediate_size,
+                self.dtype, self.param_dtype, name=f"layers_{i}",
+            )(x)
+            if i == feature_layer:
+                features = x[:, 1:]  # drop CLS (llava feature_select)
+            if i in self.tap_layers:
+                taps[self.tap_layers.index(i)] = x[:, 1:]
+        return features, taps

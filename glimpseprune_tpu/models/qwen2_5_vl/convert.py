@@ -97,9 +97,9 @@ def convert_text(sd: Mapping[str, Any], cfg: ModelConfig) -> Dict[str, Any]:
             "input_layernorm": _norm(sd, f"{b}.input_layernorm"),
             "post_attention_layernorm": _norm(sd, f"{b}.post_attention_layernorm"),
             "self_attn": {
-                "q_proj": _dense(sd, f"{b}.self_attn.q_proj", bias=True),
-                "k_proj": _dense(sd, f"{b}.self_attn.k_proj", bias=True),
-                "v_proj": _dense(sd, f"{b}.self_attn.v_proj", bias=True),
+                "q_proj": _dense(sd, f"{b}.self_attn.q_proj", bias=t.attention_bias),
+                "k_proj": _dense(sd, f"{b}.self_attn.k_proj", bias=t.attention_bias),
+                "v_proj": _dense(sd, f"{b}.self_attn.v_proj", bias=t.attention_bias),
                 "o_proj": _dense(sd, f"{b}.self_attn.o_proj", bias=False),
             },
             "mlp": {

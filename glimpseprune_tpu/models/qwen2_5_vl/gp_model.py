@@ -139,18 +139,22 @@ class Qwen2_5_VL_GP(nn.Module):
 
     def _write_le(self, x: jnp.ndarray, le: jnp.ndarray, le_start: jnp.ndarray,
                   add: bool) -> jnp.ndarray:
-        """Place (or residually add) le [le_len, H] at per-row offsets."""
-        def per_row(row, start):
-            if add:
-                patch = jax.lax.dynamic_slice_in_dim(row, start, le.shape[0], axis=0)
-                return jax.lax.dynamic_update_slice_in_dim(
-                    row, patch + le.astype(row.dtype), start, axis=0
-                )
-            return jax.lax.dynamic_update_slice_in_dim(
-                row, le.astype(row.dtype), start, axis=0
-            )
+        """Place (or residually add) le [le_len, H] at per-row offsets.
 
-        return jax.vmap(per_row)(x, le_start)
+        Implemented as a broadcasted select/add over a position mask so it
+        fuses into the surrounding layer math — a dynamic_update_slice here
+        would copy the whole [B, S, H] activation per le layer (the 7B recipe
+        applies le at every one of 28 layers)."""
+        b, s, h = x.shape
+        le_len = le.shape[0]
+        pos = jnp.arange(s)[None, :]  # [1, S]
+        offset = pos - le_start[:, None]  # [B, S]; 0..le_len-1 inside the slot
+        inside = (offset >= 0) & (offset < le_len)
+        le_rows = le[jnp.clip(offset, 0, le_len - 1)]  # [B, S, H]
+        le_rows = jnp.where(inside[..., None], le_rows.astype(x.dtype), 0)
+        if add:
+            return x + le_rows
+        return jnp.where(inside[..., None], le_rows, x)
 
     # ------------------------------------------------------------------ #
     # glimpse prefill, phase 1: encode + predict mask logits
@@ -331,7 +335,10 @@ class Qwen2_5_VL_GP(nn.Module):
         else:
             kv_k, kv_v = r_k, r_v
         x = self.text.final_norm(x)
-        logits = self.text.logits(x)
+        # decode only needs the last position; projecting the full [B, R, V]
+        # vocab block wastes ~R x vocab FLOPs + HBM (reference pays it via HF
+        # forward; we slice before lm_head)
+        logits = self.text.logits(x[:, -1:])
 
         return GlimpseOutputs(
             logits=logits,
@@ -436,7 +443,7 @@ class Qwen2_5_VL_GP(nn.Module):
             ks.append(k_seg)
             vs.append(v_seg)
         x = self.text.final_norm(x)
-        logits = self.text.logits(x)
+        logits = self.text.logits(x[:, -1:])
         return (
             logits, input_ids, valid, pos,
             jnp.concatenate(ks, 0), jnp.concatenate(vs, 0), is_img,
@@ -476,7 +483,7 @@ class Qwen2_5_VL_GP(nn.Module):
             embeds, cos.astype(self.dtype), sin.astype(self.dtype), valid
         )
         x = self.text.final_norm(x)
-        return self.text.logits(x), kv_k, kv_v
+        return self.text.logits(x[:, -1:]), kv_k, kv_v
 
     def decode_step(self, input_ids, position_ids, k_cache, v_cache, kv_valid, write_idx):
         """input_ids [B, S_new], position_ids [3, B, S_new]."""

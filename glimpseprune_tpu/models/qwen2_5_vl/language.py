@@ -61,9 +61,10 @@ class TextAttention(nn.Module):
     def setup(self):
         c = self.cfg
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        self.q_proj = nn.Dense(c.num_attention_heads * c.head_dim, use_bias=True, **kw)
-        self.k_proj = nn.Dense(c.num_key_value_heads * c.head_dim, use_bias=True, **kw)
-        self.v_proj = nn.Dense(c.num_key_value_heads * c.head_dim, use_bias=True, **kw)
+        bias = c.attention_bias
+        self.q_proj = nn.Dense(c.num_attention_heads * c.head_dim, use_bias=bias, **kw)
+        self.k_proj = nn.Dense(c.num_key_value_heads * c.head_dim, use_bias=bias, **kw)
+        self.v_proj = nn.Dense(c.num_key_value_heads * c.head_dim, use_bias=bias, **kw)
         self.o_proj = nn.Dense(c.hidden_size, use_bias=False, **kw)
 
     def qkv(self, x, cos, sin):

@@ -241,9 +241,12 @@ class GenerateResult:
 class GlimpsePruneRunner:
     """Owns params + jitted phase functions; the user-facing generate() API."""
 
-    def __init__(self, cfg: ModelConfig, params, dtype=jnp.float32, donate_cache: bool = True):
+    def __init__(self, cfg: ModelConfig, params, dtype=jnp.float32,
+                 donate_cache: bool = True, model=None):
         self.cfg = cfg.validate()
-        self.model = Qwen2_5_VL_GP(cfg, dtype=dtype)
+        # model: any module with the Qwen2_5_VL_GP method surface (the LLaVA
+        # family passes its own Llava_GP here; the pipeline is shared)
+        self.model = model if model is not None else Qwen2_5_VL_GP(cfg, dtype=dtype)
         self.params = params
         self.dtype = dtype
 

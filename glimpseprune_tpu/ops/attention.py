@@ -16,6 +16,25 @@ import jax.numpy as jnp
 
 NEG_INF = -1e30
 
+# "auto": Pallas flash kernel on TPU for sequences >= _FLASH_MIN_SEQ,
+# einsum elsewhere. "xla" / "flash" force one path (tests, debugging).
+ATTENTION_IMPL = "auto"
+_FLASH_MIN_SEQ = 512
+
+
+def set_attention_impl(impl: str):
+    global ATTENTION_IMPL
+    assert impl in ("auto", "xla", "flash"), impl
+    ATTENTION_IMPL = impl
+
+
+def _use_flash(seq_len: int) -> bool:
+    if ATTENTION_IMPL == "xla":
+        return False
+    if ATTENTION_IMPL == "flash":
+        return True
+    return jax.default_backend() == "tpu" and seq_len >= _FLASH_MIN_SEQ
+
 
 def _softmax_attend(
     q: jnp.ndarray,  # [B, Hq, S, D]
@@ -47,6 +66,15 @@ def segment_attention(
     segment_ids: jnp.ndarray,  # [S] int; attend iff equal; <0 = padding
 ) -> jnp.ndarray:
     """Bidirectional block-diagonal attention for the packed ViT sequence."""
+    if _use_flash(q.shape[0]):
+        from glimpseprune_tpu.ops.pallas.flash_attention import flash_attention
+
+        seg = segment_ids[None]
+        out = flash_attention(
+            q.transpose(1, 0, 2)[None], k.transpose(1, 0, 2)[None],
+            v.transpose(1, 0, 2)[None], seg, seg, causal=False,
+        )
+        return out[0].transpose(1, 0, 2)
     allowed = (segment_ids[:, None] == segment_ids[None, :]) & (segment_ids >= 0)[:, None]
     # padding rows attend to themselves only to keep softmax well-defined
     eye = jnp.eye(q.shape[0], dtype=bool)
@@ -90,6 +118,15 @@ def causal_segment_attention(
 ) -> jnp.ndarray:
     """Causal GQA self-attention over a (possibly left-padded) batch."""
     b, s, hq, d = q.shape
+    if _use_flash(s):
+        from glimpseprune_tpu.ops.pallas.flash_attention import flash_attention
+
+        seg = jnp.where(valid, 0, -1).astype(jnp.int32)
+        out = flash_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), seg, seg, causal=True,
+        )
+        return out.transpose(0, 2, 1, 3)
     causal = jnp.tril(jnp.ones((s, s), dtype=bool))
     allowed = causal[None] & valid[:, None, :]  # [B, S, T]
     qb = q.transpose(0, 2, 1, 3)

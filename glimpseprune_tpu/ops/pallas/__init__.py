@@ -1,0 +1,3 @@
+from glimpseprune_tpu.ops.pallas.flash_attention import flash_attention
+
+__all__ = ["flash_attention"]

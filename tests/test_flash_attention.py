@@ -1,0 +1,66 @@
+"""Pallas flash attention vs the einsum reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from glimpseprune_tpu.ops.pallas.flash_attention import flash_attention
+
+
+def reference_attention(q, k, v, q_seg, kv_seg, causal, sm_scale=None):
+    b, hq, sq, d = q.shape
+    hkv = k.shape[1]
+    if sm_scale is None:
+        sm_scale = 1.0 / np.sqrt(d)
+    k = jnp.repeat(k, hq // hkv, axis=1)
+    v = jnp.repeat(v, hq // hkv, axis=1)
+    logits = jnp.einsum("bhsd,bhtd->bhst", q, k).astype(jnp.float32) * sm_scale
+    allowed = (q_seg[:, :, None] == kv_seg[:, None, :]) & (q_seg >= 0)[:, :, None]
+    if causal:
+        allowed = allowed & (jnp.arange(sq)[:, None] >= jnp.arange(k.shape[2])[None, :])
+    logits = jnp.where(allowed[:, None], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    # fully-masked rows -> zero output (flash kernel semantics)
+    any_allowed = allowed.any(-1)[:, None, :, None]
+    out = jnp.einsum("bhst,bhtd->bhsd", probs, v.astype(jnp.float32))
+    return jnp.where(any_allowed, out, 0.0)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize(
+    "b,hq,hkv,sq,skv,d",
+    [
+        (1, 2, 2, 128, 128, 64),
+        (2, 4, 2, 256, 256, 128),
+        (1, 2, 1, 130, 130, 80),   # unaligned seq + head dim -> padding path
+    ],
+)
+def test_flash_matches_reference(causal, b, hq, hkv, sq, skv, d):
+    rng = np.random.default_rng(0)
+    q = jnp.array(rng.normal(size=(b, hq, sq, d)).astype(np.float32))
+    k = jnp.array(rng.normal(size=(b, hkv, skv, d)).astype(np.float32))
+    v = jnp.array(rng.normal(size=(b, hkv, skv, d)).astype(np.float32))
+    # two segments + trailing padding
+    q_seg = np.zeros((b, sq), dtype=np.int32)
+    q_seg[:, sq // 2 :] = 1
+    q_seg[:, -7:] = -1
+    kv_seg = np.zeros((b, skv), dtype=np.int32)
+    kv_seg[:, skv // 2 :] = 1
+    kv_seg[:, -7:] = -1
+
+    out = flash_attention(
+        q, k, v, jnp.array(q_seg), jnp.array(kv_seg), causal=causal, interpret=True
+    )
+    ref = reference_attention(q, k, v, jnp.array(q_seg), jnp.array(kv_seg), causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_padding_rows_zero():
+    q = jnp.ones((1, 1, 128, 64))
+    k = jnp.ones((1, 1, 128, 64))
+    v = jnp.ones((1, 1, 128, 64))
+    seg = jnp.full((1, 128), -1, dtype=jnp.int32)  # everything padding
+    out = flash_attention(q, k, v, seg, seg, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
