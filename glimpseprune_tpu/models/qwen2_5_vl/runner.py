@@ -331,6 +331,10 @@ class GlimpsePruneRunner:
             divprune_select,
             visionzip_select,
         )
+        from glimpseprune_tpu.compressors.vscan import (
+            merge_dropped_into_kept,
+            vscan_select,
+        )
         from glimpseprune_tpu.models.qwen2_5_vl.gp_model import (
             _gather_rows,
             _scatter_rows,
@@ -350,14 +354,14 @@ class GlimpsePruneRunner:
         img_valid = inputs["img_valid"]
         B = input_ids.shape[0]
 
-        emit_imp = method == "visionzip"
+        emit_imp = method in ("visionzip", "vscan")
         vis_out = self.model.apply(
             params, inputs["patches"], inputs["vis_pos_ids"],
             inputs["full_seg"], inputs["vis_valid"], emit_imp,
             method=self.model.vision_encode,
         )
         if emit_imp:
-            merged, _, (received, keys_mean) = vis_out
+            merged, _, (received, keys_mean, received_local) = vis_out
         else:
             merged, _ = vis_out
         rows = _gather_rows(
@@ -376,6 +380,19 @@ class GlimpsePruneRunner:
             keep_img, rows = visionzip_select(
                 rows, imp_rows, key_rows, img_valid, dominant_ratio, contextual_ratio
             )
+        elif method == "vscan":
+            local_rows = _gather_rows(
+                jnp.broadcast_to(received_local[None], (B,) + received_local.shape),
+                packed_idx, img_valid,
+            )
+            global_rows = _gather_rows(
+                jnp.broadcast_to(received[None], (B,) + received.shape),
+                packed_idx, img_valid,
+            )
+            keep_img = vscan_select(
+                local_rows, global_rows, img_valid, inputs["grid_hw"], k
+            )
+            rows = merge_dropped_into_kept(rows, keep_img, img_valid)
         elif method == "divprune":
             keep_img = divprune_select(rows, img_valid, k)
         elif method == "cdpruner":
@@ -443,6 +460,10 @@ class GlimpsePruneRunner:
             "fuser_reverse_index": jnp.asarray(prep.fuser.reverse_index),
             "fuser_segment_ids": jnp.asarray(prep.fuser.segment_ids),
             "fuser_pos_ids": jnp.asarray(prep.fuser.pos_ids),
+            "grid_hw": jnp.asarray(
+                np.stack([prep.grids[:, 1], prep.grids[:, 2]], axis=-1)
+            )
+            // 2,
         }
         if prep.le_start is not None:
             d["le_start"] = jnp.asarray(prep.le_start)
@@ -618,9 +639,12 @@ class GlimpsePruneRunner:
             kept = jnp.asarray(is_img.sum(-1))
             keep_img = None
         else:
-            keep_budget = visual_token_num or max(
-                int((dominant_ratio + contextual_ratio) * N) + 2, 1
-            )
+            if method == "vscan":
+                keep_budget = visual_token_num or max(int(0.222 * N), 2)
+            else:
+                keep_budget = visual_token_num or max(
+                    int((dominant_ratio + contextual_ratio) * N) + 2, 1
+                )
             n_text = int(inputs["valid"].sum(1).max()) - int(prep.n_img_tokens.min())
             out_len = _round_up(
                 int(inputs["input_ids"].shape[1]) - int(prep.n_img_tokens.min())

@@ -152,9 +152,13 @@ class VisionTransformer(nn.Module):
 
         taps: List[Optional[jnp.ndarray]] = [None] * len(self.tap_layers)
         importance = None
+        received_local = None
+        first_fullatt = min(c.fullatt_block_indexes) if c.fullatt_block_indexes else 0
         for i in range(c.depth):
             is_full = i in c.fullatt_block_indexes
-            want_imp = emit_importance and i == c.depth - 1
+            # importance taps: last block (VisionZip dominant scores + merge
+            # keys) and the first full-attention block (VScan local scan)
+            want_imp = emit_importance and (i == c.depth - 1 or i == first_fullatt)
             out = VisionBlock(c, dtype=self.dtype, param_dtype=self.param_dtype,
                               window_patches=0 if is_full else wp,
                               name=f"blocks_{i}")(x, cos, sin, full_seg, valid,
@@ -162,11 +166,15 @@ class VisionTransformer(nn.Module):
             x = out[0] if want_imp else out
             if want_imp:
                 received, keys_mean = out[1]
-                # merge-unit pool to token granularity (window order)
-                importance = (
-                    received.reshape(-1, mu).mean(axis=1),
-                    keys_mean.reshape(-1, mu, keys_mean.shape[-1]).mean(axis=1),
-                )
+                pooled = received.reshape(-1, mu).mean(axis=1)
+                if i == first_fullatt:
+                    received_local = pooled
+                if i == c.depth - 1:
+                    importance = (
+                        pooled,
+                        keys_mean.reshape(-1, mu, keys_mean.shape[-1]).mean(axis=1),
+                        received_local if received_local is not None else pooled,
+                    )
             if i in self.tap_layers:
                 pos = self.tap_layers.index(i)
                 taps[pos] = x.reshape(-1, mu, c.hidden_size).mean(axis=1)

@@ -118,16 +118,74 @@ def harness():
     return cfg, runner, prep
 
 
-@pytest.mark.parametrize("method", ["visionzip", "divprune", "cdpruner", "pdrop"])
+def test_vscan_window_capped_selection():
+    from glimpseprune_tpu.compressors.vscan import vscan_select, merge_dropped_into_kept
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    B, h, w = 1, 8, 8
+    N = h * w
+    local = jnp.array(rng.random((B, N)).astype(np.float32))
+    glob = jnp.array(rng.random((B, N)).astype(np.float32))
+    valid = jnp.ones((B, N), dtype=bool)
+    grid = jnp.array([[h, w]])
+    k = 16
+    keep = vscan_select(local, glob, valid, grid, k, window=4)
+    keep_np = np.asarray(keep)[0]
+    assert keep_np.sum() == k
+    # local half respects the per-window cap: ceil(8 / 4 windows) = 2
+    # (can only verify total due to local/global mixing; check merge instead)
+    emb = jnp.array(rng.normal(size=(B, N, 8)).astype(np.float32))
+    merged = merge_dropped_into_kept(emb, keep, valid)
+    # kept tokens changed (absorbed neighbors), dropped unchanged
+    changed = np.abs(np.asarray(merged) - np.asarray(emb)).max(-1)[0]
+    assert (changed[keep_np] > 0).any()
+    assert np.allclose(changed[~keep_np], 0)
+
+
+def test_vscan_local_cap_exact():
+    """With global scores zeroed, selection is pure window-capped local greedy:
+    compare against a direct python implementation of the reference loop."""
+    from glimpseprune_tpu.compressors.vscan import vscan_select
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    h, w, window = 8, 12, 4
+    N = h * w
+    local = rng.random(N).astype(np.float32)
+    k = 12
+    k_local = k // 2
+    nwh, nww = h // window, w // window
+    limit = int(np.ceil(k_local / (nwh * nww)))
+    # reference greedy walk
+    counter = {}
+    sel = []
+    for idx in np.argsort(-local):
+        x = min(idx // w // window, nwh - 1)
+        y = min(idx % w // window, nww - 1)
+        if counter.get((x, y), 0) < limit:
+            counter[(x, y)] = counter.get((x, y), 0) + 1
+            sel.append(int(idx))
+        if len(sel) >= k_local:
+            break
+    keep = vscan_select(
+        jnp.array(local)[None], jnp.full((1, N), -1e9), jnp.ones((1, N), dtype=bool),
+        jnp.array([[h, w]]), k, window=window,
+    )
+    ours_local = set(np.nonzero(np.asarray(keep)[0])[0].tolist())
+    assert set(sel) <= ours_local  # local picks all present (rest are global)
+
+
+@pytest.mark.parametrize("method", ["visionzip", "divprune", "cdpruner", "pdrop", "vscan"])
 def test_compressed_generate_runs(harness, method):
     cfg, runner, prep = harness
     kwargs = dict(max_new_tokens=4)
-    if method in ("divprune", "cdpruner"):
+    if method in ("divprune", "cdpruner", "vscan"):
         kwargs["visual_token_num"] = 2  # rows have 6 and 4 image tokens
     if method == "pdrop":
         kwargs["stages"] = ((1, 0.5), (2, 0.25))
     res = runner.generate_compressed(prep, method, **kwargs)
     assert res.sequences.shape == (2, 4)
     assert (res.prune_ratio > 0).all()
-    if method in ("divprune", "cdpruner"):
+    if method in ("divprune", "cdpruner", "vscan"):
         np.testing.assert_array_equal(res.keep_img.sum(1), [2, 2])
