@@ -42,6 +42,9 @@ class GlimpseState(NamedTuple):
     """Everything needed to apply a (possibly delayed) selection."""
 
     input_ids: jnp.ndarray       # [B, S]
+    embeds: jnp.ndarray          # [B, S, H] layer-0 embeddings (for RL
+                                 # teacher-forcing; reference keeps
+                                 # reduced_input_embeds, model_gp.py:1586)
     hidden: jnp.ndarray          # [B, S, H] at reduce_layer
     kv_k: jnp.ndarray            # [n_red, B, S, Hkv, D]
     kv_v: jnp.ndarray
@@ -53,8 +56,9 @@ class GlimpseState(NamedTuple):
 
 
 class GlimpseOutputs(NamedTuple):
-    logits: jnp.ndarray              # [B, R, V]
+    logits: jnp.ndarray              # [B, 1, V] last position
     input_ids: jnp.ndarray           # [B, R]
+    embeds: jnp.ndarray              # [B, R, H] reduced layer-0 embeddings
     valid: jnp.ndarray               # [B, R]
     position_ids: jnp.ndarray        # [3, B, R]
     kv_k: jnp.ndarray                # [L, B, R, Hkv, D]
@@ -277,6 +281,7 @@ class Qwen2_5_VL_GP(nn.Module):
 
         state = GlimpseState(
             input_ids=input_ids,
+            embeds=embeds,
             hidden=hidden_at_reduce,
             kv_k=kv_k,
             kv_v=kv_v,
@@ -313,6 +318,7 @@ class Qwen2_5_VL_GP(nn.Module):
         plan = compaction_indices(keep, out_len)
 
         r_ids = gather_tokens(state.input_ids, plan, fill=c.pad_token_id)
+        r_embeds = gather_tokens(state.embeds, plan)
         r_hidden = gather_tokens(state.hidden, plan)
         r_pos = gather_positions(state.position_ids, plan)
         r_valid = plan.valid
@@ -343,6 +349,7 @@ class Qwen2_5_VL_GP(nn.Module):
         return GlimpseOutputs(
             logits=logits,
             input_ids=r_ids,
+            embeds=r_embeds,
             valid=r_valid,
             position_ids=r_pos,
             kv_k=kv_k,
@@ -472,6 +479,40 @@ class Qwen2_5_VL_GP(nn.Module):
         )
         x = self.text.final_norm(x)
         return self.text.logits(x), kv_k, kv_v
+
+    def completion_logits(self, prompt_embeds, prompt_valid, prompt_pos,
+                          completion_ids, completion_valid, completion_pos):
+        """Teacher-forcing over [reduced prompt embeds ; completion tokens]:
+        the GRPO policy/reference logprob forward over the *pruned* prompt
+        (reference :1273-1303 left-repads reduced embeds + completions)."""
+        c = self.cfg
+        ce = self.text.embed(completion_ids)
+        embeds = jnp.concatenate([prompt_embeds, ce], axis=1)
+        valid = jnp.concatenate([prompt_valid, completion_valid], axis=1)
+        pos = jnp.concatenate([prompt_pos, completion_pos], axis=2)
+        cos, sin = mrope_cos_sin(
+            pos, c.text.head_dim, c.text.rope_theta, c.text.mrope_section
+        )
+        x, _, _ = self.text.run_layers(
+            embeds, cos.astype(self.dtype), sin.astype(self.dtype), valid,
+            collect_kv=False,
+        )
+        return self.text.logits(self.text.final_norm(x))
+
+    def text_prefill_logits(self, input_ids, valid, position_ids):
+        """Teacher-forcing logits over a (possibly mixed prompt+completion)
+        token sequence — the GRPO policy/reference logprob forward
+        (reference train_qwen_gp.py:1273-1339). All positions projected."""
+        c = self.cfg
+        embeds = self.text.embed(input_ids)
+        cos, sin = mrope_cos_sin(
+            position_ids, c.text.head_dim, c.text.rope_theta, c.text.mrope_section
+        )
+        x, _, _ = self.text.run_layers(
+            embeds, cos.astype(self.dtype), sin.astype(self.dtype), valid,
+            collect_kv=False,
+        )
+        return self.text.logits(self.text.final_norm(x))
 
     def prefill_embeds(self, embeds, valid, position_ids):
         """Full-depth prefill over precomputed embeddings (compressed seqs)."""

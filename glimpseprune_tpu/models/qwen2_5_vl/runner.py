@@ -494,6 +494,8 @@ class GlimpsePruneRunner:
         use_ref_masks: bool = False,
         eos_token_id: Optional[int] = None,
         check_eos_every: int = 8,
+        temperature: float = 0.0,
+        rng=None,
     ) -> GenerateResult:
         cfg = self.cfg
         eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
@@ -536,7 +538,8 @@ class GlimpsePruneRunner:
             prune_ratio = None
 
         seqs, n_gen = self._decode_loop(
-            logits, r_valid, r_pos, kv_k, kv_v, max_new_tokens, eos, check_eos_every
+            logits, r_valid, r_pos, kv_k, kv_v, max_new_tokens, eos,
+            check_eos_every, temperature=temperature, rng=rng,
         )
         return GenerateResult(
             sequences=seqs,
@@ -547,8 +550,11 @@ class GlimpsePruneRunner:
         )
 
     def _decode_loop(self, logits, r_valid, r_pos, kv_k, kv_v, max_new_tokens,
-                     eos, check_eos_every=8):
-        """Greedy decode over a compacted KV prefix; shared by every method."""
+                     eos, check_eos_every=8, temperature: float = 0.0,
+                     rng=None):
+        """Decode over a compacted KV prefix; shared by every method.
+        temperature=0 -> greedy; >0 -> categorical sampling (GRPO completion
+        sampling, reference train_qwen_gp.py:1221-1247)."""
         cfg = self.cfg
         B = logits.shape[0]
         R = int(r_valid.shape[1])
@@ -562,7 +568,18 @@ class GlimpsePruneRunner:
         v_cache = v_cache.at[:, :, :R].set(kv_v)
 
         last_pos = r_pos[:, :, -1]  # [3, B]
-        next_token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)  # [B]
+
+        def pick(lg, key):
+            if temperature and temperature > 0:
+                return jax.random.categorical(
+                    key, lg.astype(jnp.float32) / temperature, axis=-1
+                ).astype(jnp.int32)
+            return jnp.argmax(lg, axis=-1).astype(jnp.int32)
+
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        rng, sub = jax.random.split(rng)
+        next_token = pick(logits[:, -1], sub)  # [B]
 
         seqs = np.zeros((B, max_new_tokens), dtype=np.int64)
         finished = np.zeros((B,), dtype=bool)
@@ -588,7 +605,8 @@ class GlimpsePruneRunner:
                 jnp.asarray(tok_host[:, None], dtype=jnp.int32),
                 pos_step, k_cache, v_cache, kv_valid, jnp.int32(R + step),
             )
-            next_token = jnp.argmax(step_logits[:, -1], axis=-1).astype(jnp.int32)
+            rng, sub = jax.random.split(rng)
+            next_token = pick(step_logits[:, -1], sub)
         return seqs, n_gen
 
     # ------------------------------------------------------------------ #

@@ -1,0 +1,302 @@
+"""GlimpsePrune+ (GRPO-style RL) losses and training orchestration.
+
+Reference recipe (train_qwen_gp.py `_generate_and_score_completions`
+:1122-1396 + loss assembly :1402-1446, :1531-1553):
+  1. delayed-selection forward -> mask logits (loc + le supervision)
+  2. prune with generated masks, sample G completions per prompt
+  3. score completions (LLM judge / offline score funcs)
+  4. group-whitened advantages (gathered across data-parallel workers)
+  5. GRPO surrogate  -exp(logp - stop_grad(logp)) * A  on completion tokens
+  6. k3-KL distillation to the adapter-disabled (reference) policy
+
+Here steps 1/2 run through the shared runner (sampling decode), scoring is a
+host-side registry call, and 4-6 are pure-jax functions assembled into one
+jitted loss step over (new-modules + LoRA) trainables.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glimpseprune_tpu.registry import Registry
+
+SCORE_FUNCS: Registry = Registry("score_func")
+
+
+# ---- train-time reward registry (reference train_qwen_gp.py:715-802) ----
+
+
+@SCORE_FUNCS.register("precision_match")
+def precision_match_score(queries, answers, completions, **kw) -> List[float]:
+    return [1.0 if (a or "").strip() == (c or "").strip() else 0.0
+            for a, c in zip(answers, completions)]
+
+
+@SCORE_FUNCS.register("single_choice")
+def single_choice_score(queries, answers, completions, **kw) -> List[float]:
+    from glimpseprune_tpu.evalsuite.scorers import single_choice
+
+    return single_choice(queries, answers, completions)
+
+
+@SCORE_FUNCS.register("one_box_iou")
+def one_box_iou_score(queries, answers, completions, **kw) -> List[float]:
+    from glimpseprune_tpu.evalsuite.scorers import (
+        extract_one_bbox_from_str,
+        paired_box_iou,
+    )
+
+    pred = np.array([extract_one_bbox_from_str(c) for c in completions])
+    gt = np.array([a if isinstance(a, (list, tuple)) else extract_one_bbox_from_str(str(a))
+                   for a in answers], dtype=np.float64)
+    return paired_box_iou(pred, gt).tolist()
+
+
+@SCORE_FUNCS.register("one_box_format")
+def one_box_format_score(queries, answers, completions, **kw) -> List[float]:
+    from glimpseprune_tpu.evalsuite.scorers import extract_one_bbox_from_str
+
+    return [1.0 if any(extract_one_bbox_from_str(c)) else 0.0 for c in completions]
+
+
+@SCORE_FUNCS.register("llm")
+def llm_score(queries, answers, completions, client=None, **kw) -> List[float]:
+    assert client is not None, "llm score func needs client=LLMClient(...)"
+    return client.score(queries, completions, answers)
+
+
+@SCORE_FUNCS.register("precision_match_or_llm")
+def precision_match_or_llm(queries, answers, completions, client=None, **kw):
+    base = precision_match_score(queries, answers, completions)
+    if client is None:
+        return base
+    todo = [i for i, s in enumerate(base) if s < 1.0]
+    if todo:
+        judged = client.score(
+            [queries[i] for i in todo],
+            [completions[i] for i in todo],
+            [answers[i] for i in todo],
+        )
+        for i, s in zip(todo, judged):
+            base[i] = s
+    return base
+
+
+@SCORE_FUNCS.register("dummy")
+def dummy_score(queries, answers, completions, **kw) -> List[float]:
+    return [float(len(c or "") % 3) / 2.0 for c in completions]
+
+
+# ---- pure-jax loss pieces -------------------------------------------------
+
+
+def whiten_group_scores(scores: jnp.ndarray, num_generations: int) -> jnp.ndarray:
+    """Scores [B*G] -> advantages whitened within each G-group
+    (reference :1361-1377: subtract group mean, divide global std)."""
+    g = scores.reshape(-1, num_generations)
+    centered = g - g.mean(axis=1, keepdims=True)
+    std = scores.std() + 1e-4
+    return (centered / std).reshape(-1)
+
+
+def token_logprobs(logits: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, V] logits + [B, T] token ids -> [B, T] log p(token)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(logp, tokens[..., None], axis=-1)[..., 0]
+
+
+def grpo_surrogate(
+    policy_logps: jnp.ndarray,    # [B, T] per-token completion logprobs
+    advantages: jnp.ndarray,      # [B]
+    mask: jnp.ndarray,            # [B, T] completion-token mask
+) -> jnp.ndarray:
+    """-exp(logp - stop_grad(logp)) * A, token-mean (reference :1424-1445)."""
+    ratio = jnp.exp(policy_logps - jax.lax.stop_gradient(policy_logps))
+    per_tok = -ratio * advantages[:, None]
+    per_tok = per_tok * mask
+    return per_tok.sum() / jnp.maximum(mask.sum(), 1)
+
+
+def k3_kl(
+    policy_logps: jnp.ndarray,  # [B, T]
+    ref_logps: jnp.ndarray,     # [B, T]
+    mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """k3 KL estimator: exp(ref-pol) - (ref-pol) - 1 (reference :1402-1421)."""
+    diff = ref_logps - policy_logps
+    per_tok = jnp.exp(diff) - diff - 1.0
+    per_tok = per_tok * mask
+    return per_tok.sum() / jnp.maximum(mask.sum(), 1)
+
+
+class GRPOBatch(NamedTuple):
+    """Device arrays for one GRPO loss step (host assembles after sampling
+    and scoring). Prompt side is the *pruned* geometry straight out of
+    GlimpseOutputs (embeds/valid/positions, G-repeated); completions are the
+    sampled token ids with an eos-aware mask."""
+
+    prompt_embeds: jnp.ndarray     # [B*G, R, H] reduced layer-0 embeddings
+    prompt_valid: jnp.ndarray      # [B*G, R]
+    prompt_pos: jnp.ndarray        # [3, B*G, R]
+    completion_ids: jnp.ndarray    # [B*G, Tc]
+    completion_valid: jnp.ndarray  # [B*G, Tc]
+    completion_pos: jnp.ndarray    # [3, B*G, Tc]
+    advantages: jnp.ndarray        # [B*G]
+    ref_logps: jnp.ndarray         # [B*G, Tc] adapter-disabled logprobs
+
+
+def _completion_logps(model, params, batch: GRPOBatch) -> jnp.ndarray:
+    logits = model.apply(
+        {"params": params},
+        batch.prompt_embeds, batch.prompt_valid, batch.prompt_pos,
+        batch.completion_ids, batch.completion_valid, batch.completion_pos,
+        method=model.completion_logits,
+    )
+    r = batch.prompt_embeds.shape[1]
+    # logit at position r-1 predicts completion token 0, etc.
+    lg = logits[:, r - 1 : -1]
+    return token_logprobs(lg, batch.completion_ids)
+
+
+def make_grpo_loss_step(model, optimizer, reward_weight: float = 1.0,
+                        kd_weight: float = 0.04):
+    """grpo_step(lora, opt_state, frozen, batch) -> (lora, opt_state, metrics).
+
+    Policy = frozen params + LoRA (reference policy = LoRA disabled); both
+    teacher-force over the pruned prompt via completion_logits."""
+    import optax
+
+    from glimpseprune_tpu.training.lora import apply_lora
+
+    def loss_fn(lora, frozen, batch: GRPOBatch):
+        params = apply_lora(frozen, lora)
+        logps = _completion_logps(model, params, batch)
+        cmask = batch.completion_valid.astype(jnp.float32)
+        reward_loss = grpo_surrogate(logps, batch.advantages, cmask)
+        kd_loss = k3_kl(logps, batch.ref_logps, cmask)
+        total = reward_weight * reward_loss + kd_weight * kd_loss
+        return total, {
+            "reward_loss": reward_loss,
+            "kd_loss": kd_loss,
+            "grpo_total": total,
+            "mean_advantage": batch.advantages.mean(),
+        }
+
+    def step(lora, opt_state, frozen, batch: GRPOBatch):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            lora, frozen, batch
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, lora)
+        lora = optax.apply_updates(lora, updates)
+        return lora, opt_state, metrics
+
+    return step
+
+
+def compute_ref_logps(model, frozen, batch: GRPOBatch) -> jnp.ndarray:
+    """Adapter-disabled reference logprobs (no LoRA applied)."""
+    return _completion_logps(model, frozen, batch)
+
+
+class GRPOTrainer:
+    """GlimpsePrune+ orchestration: prune -> sample G -> score -> step.
+
+    Deviations vs the reference noted inline; mask generation uses the
+    trained fuser directly (gen_mask_usage_ratio mixing and the judge live
+    behind `score_fn` / `use_ref_masks`).
+    """
+
+    def __init__(self, cfg, runner, dataset, tokenize, detokenize,
+                 num_generations: int = 4, max_new_tokens: int = 32,
+                 temperature: float = 1.0, score_fn: str = "dummy",
+                 score_client=None, reward_weight: float = 1.0,
+                 kd_weight: float = 0.04, lora_rank: int = 8,
+                 learning_rate: float = 1e-5, seed: int = 0):
+        import optax
+
+        from glimpseprune_tpu.training.lora import make_lora_params
+
+        self.cfg = cfg
+        self.runner = runner
+        self.model = runner.model
+        self.dataset = dataset
+        self.tokenize = tokenize
+        self.detokenize = detokenize
+        self.G = num_generations
+        self.max_new_tokens = max_new_tokens
+        self.temperature = temperature
+        self.score_fn = SCORE_FUNCS.get(score_fn)
+        self.score_client = score_client
+        self.frozen = runner.params
+        self.lora = make_lora_params(self.frozen, rank=lora_rank, seed=seed)
+        self.optimizer = optax.adamw(learning_rate)
+        self.opt_state = self.optimizer.init(self.lora)
+        self.step_fn = jax.jit(
+            make_grpo_loss_step(self.model, self.optimizer, reward_weight, kd_weight)
+        )
+        self.seed = seed
+
+    def step_on_batch(self, samples, load_image, rng_key) -> Dict[str, float]:
+        from glimpseprune_tpu.models.qwen2_5_vl.runner import prepare_inputs
+
+        cfg = self.cfg
+        G = self.G
+        prompts, images, queries, answers = [], [], [], []
+        for s in samples:
+            p = ([cfg.vision_start_token_id, cfg.image_token_id,
+                  cfg.vision_end_token_id] + self.tokenize(s.query))
+            for _ in range(G):  # G-repeat (RepeatRandomSampler semantics)
+                prompts.append(p)
+                images.append(load_image(s.img_path))
+                queries.append(s.query)
+                answers.append(s.answer)
+        prep = prepare_inputs(cfg, prompts, images, seq_multiple=8, patch_multiple=16)
+
+        out = self.runner._prefill(
+            {"params": self.frozen}, self.runner._device_inputs(prep, False),
+            out_len=prep.out_len, use_ref_masks=False,
+        )
+        seqs, n_gen = self.runner._decode_loop(
+            out.logits, out.valid, out.position_ids, out.kv_k, out.kv_v,
+            self.max_new_tokens, cfg.eos_token_id,
+            temperature=self.temperature, rng=rng_key,
+        )
+        completions = [
+            self.detokenize([int(x) for x in seqs[i, : n_gen[i]]])
+            for i in range(len(prompts))
+        ]
+        scores = np.asarray(
+            self.score_fn(queries, answers, completions, client=self.score_client),
+            dtype=np.float32,
+        )
+        advantages = whiten_group_scores(jnp.asarray(scores), G)
+
+        Tc = seqs.shape[1]
+        comp_ids = jnp.asarray(seqs, dtype=jnp.int32)
+        comp_valid = jnp.arange(Tc)[None, :] < jnp.asarray(n_gen)[:, None]
+        last = out.position_ids[:, :, -1]  # [3, B*G]
+        comp_pos = last[:, :, None] + 1 + jnp.arange(Tc)[None, None, :]
+
+        batch = GRPOBatch(
+            prompt_embeds=out.embeds,
+            prompt_valid=out.valid,
+            prompt_pos=out.position_ids,
+            completion_ids=comp_ids,
+            completion_valid=comp_valid,
+            completion_pos=comp_pos,
+            advantages=advantages,
+            ref_logps=jnp.zeros_like(comp_ids, dtype=jnp.float32),
+        )
+        ref_logps = compute_ref_logps(self.model, self.frozen, batch)
+        batch = batch._replace(ref_logps=ref_logps)
+
+        self.lora, self.opt_state, metrics = self.step_fn(
+            self.lora, self.opt_state, self.frozen, batch
+        )
+        m = {k: float(v) for k, v in metrics.items()}
+        m["mean_score"] = float(scores.mean())
+        return m

@@ -1,0 +1,124 @@
+"""GlimpsePrune+ (GRPO) recipe: LoRA, loss pieces, full RL step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from glimpseprune_tpu.config import tiny_test_config
+from glimpseprune_tpu.models.qwen2_5_vl.runner import GlimpsePruneRunner
+from glimpseprune_tpu.training.grpo import (
+    GRPOTrainer,
+    SCORE_FUNCS,
+    grpo_surrogate,
+    k3_kl,
+    token_logprobs,
+    whiten_group_scores,
+)
+from glimpseprune_tpu.training.lora import (
+    apply_lora,
+    lora_param_count,
+    make_lora_params,
+)
+from glimpseprune_tpu.training.data import TrainSample
+
+from test_training import build_batch, init_params
+
+
+def test_lora_make_apply():
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(0)
+    prep, _ = build_batch(cfg, rng, with_labels=False)
+    _, params = init_params(cfg, prep)
+    lora = make_lora_params(params, rank=4)
+    n_layers = cfg.text.num_hidden_layers
+    assert len(lora) == n_layers * 7  # qkv+o + gate/up/down per layer
+    assert lora_param_count(lora) > 0
+    # B init zero -> apply is identity
+    merged = apply_lora(params, lora)
+    k0 = "text/layers_0/self_attn/q_proj/kernel"
+    np.testing.assert_array_equal(
+        np.asarray(merged["text"]["layers_0"]["self_attn"]["q_proj"]["kernel"]),
+        np.asarray(params["text"]["layers_0"]["self_attn"]["q_proj"]["kernel"]),
+    )
+    # nonzero B changes the kernel
+    lora[k0]["b"] = lora[k0]["b"] + 0.1
+    merged2 = apply_lora(params, lora)
+    assert not np.allclose(
+        np.asarray(merged2["text"]["layers_0"]["self_attn"]["q_proj"]["kernel"]),
+        np.asarray(params["text"]["layers_0"]["self_attn"]["q_proj"]["kernel"]),
+    )
+
+
+def test_whiten_group_scores():
+    scores = jnp.array([1.0, 0.0, 1.0, 1.0])  # two groups of G=2
+    adv = np.asarray(whiten_group_scores(scores, 2))
+    np.testing.assert_allclose(adv[0], -adv[1], rtol=1e-5)
+    assert adv[0] > 0 > adv[1]  # winner gets positive advantage
+    np.testing.assert_allclose(adv[2:], 0.0, atol=1e-6)  # tie group -> 0
+
+
+def test_grpo_loss_pieces():
+    rng = np.random.default_rng(0)
+    logits = jnp.array(rng.normal(size=(2, 5, 11)).astype(np.float32))
+    toks = jnp.array(rng.integers(0, 11, (2, 5)))
+    lp = token_logprobs(logits, toks)
+    assert lp.shape == (2, 5)
+    assert float(lp.max()) <= 0.0
+
+    mask = jnp.ones((2, 5))
+    adv = jnp.array([1.0, -1.0])
+    s = grpo_surrogate(lp, adv, mask)
+    # ratio==1 at stop_grad point -> surrogate value = -mean(adv)
+    np.testing.assert_allclose(float(s), 0.0, atol=1e-6)
+    kl = k3_kl(lp, lp, mask)
+    np.testing.assert_allclose(float(kl), 0.0, atol=1e-6)
+    kl2 = k3_kl(lp, lp - 0.5, mask)
+    assert float(kl2) > 0
+
+
+def test_grpo_trainer_step():
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(0)
+    prep, _ = build_batch(cfg, rng, with_labels=False)
+    _, params = init_params(cfg, prep)
+    runner = GlimpsePruneRunner(cfg, params)
+
+    samples = [
+        TrainSample("what is this?", "a cat", "dummy0.jpg"),
+        TrainSample("what color?", "blue", "dummy1.jpg"),
+    ]
+
+    def load_image(path):
+        r = np.random.default_rng(hash(path) % 2**31)
+        return r.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+
+    def tokenize(t):
+        return [5 + ord(c) % 200 for c in t[:8]]
+
+    def detok(ids):
+        return " ".join(map(str, ids))
+
+    trainer = GRPOTrainer(
+        cfg, runner, None, tokenize, detok,
+        num_generations=2, max_new_tokens=4, temperature=1.0,
+        score_fn="dummy", lora_rank=2, learning_rate=1e-3,
+    )
+    lora_before = jax.tree_util.tree_map(np.asarray, trainer.lora)
+    m = trainer.step_on_batch(samples, load_image, jax.random.PRNGKey(0))
+    assert np.isfinite(m["grpo_total"])
+    assert np.isfinite(m["kd_loss"]) and m["kd_loss"] >= -1e-6
+    # LoRA actually moved
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()), trainer.lora, lora_before
+    )
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_score_funcs():
+    assert SCORE_FUNCS.get("precision_match")(["q"], ["yes"], ["yes"]) == [1.0]
+    assert SCORE_FUNCS.get("one_box_format")(["q"], [""], ["[0.1,0.2,0.3,0.4]"]) == [1.0]
+    assert SCORE_FUNCS.get("one_box_format")(["q"], [""], ["no box"]) == [0.0]
+    iou = SCORE_FUNCS.get("one_box_iou")(["q"], [[0.0, 0.0, 0.5, 0.5]], ["[0.0, 0.0, 0.5, 0.5]"])
+    np.testing.assert_allclose(iou, [1.0])
