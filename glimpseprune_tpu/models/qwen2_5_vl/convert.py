@@ -91,9 +91,11 @@ def convert_text(sd: Mapping[str, Any], cfg: ModelConfig) -> Dict[str, Any]:
         "embed_tokens": {"embedding": _np(sd["language.embed_tokens.weight"])},
         "norm": _norm(sd, "language.norm"),
     }
+    # stacked-layer layout (leading [L] axis on every leaf) for lax.scan
+    per_layer = []
     for i in range(t.num_hidden_layers):
         b = f"language.layers.{i}"
-        p[f"layers_{i}"] = {
+        per_layer.append({
             "input_layernorm": _norm(sd, f"{b}.input_layernorm"),
             "post_attention_layernorm": _norm(sd, f"{b}.post_attention_layernorm"),
             "self_attn": {
@@ -107,7 +109,10 @@ def convert_text(sd: Mapping[str, Any], cfg: ModelConfig) -> Dict[str, Any]:
                 "up_proj": _dense(sd, f"{b}.mlp.up_proj", bias=False),
                 "down_proj": _dense(sd, f"{b}.mlp.down_proj", bias=False),
             },
-        }
+        })
+    import jax
+
+    p["layers"] = jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *per_layer)
     if not t.tie_word_embeddings:
         if "lm_head.weight" in sd:
             p["lm_head"] = {"kernel": _np(sd["lm_head.weight"]).T}

@@ -134,31 +134,27 @@ class Qwen2_5_VL_GP(nn.Module):
     # ------------------------------------------------------------------ #
     # le helpers
 
-    def _le_vector(self, layer_id: int, training: bool) -> jnp.ndarray:
-        """Projected glimpse embedding for a given depth -> [le_len, H]."""
-        idx = self.cfg.gp.le_layers.index(layer_id)
-        le = self.learnable_embeddings[idx].astype(self.dtype)
+    def _le_vectors_all(self, training: bool) -> jnp.ndarray:
+        """Projected glimpse embeddings scattered to their layers ->
+        [num_layers, le_len, H] (zeros at non-le layers). One vectorized
+        proj+norm+dropout replaces the reference's per-layer `_try_add_le`
+        calls (model_gp.py:1055-1117)."""
+        gp = self.cfg.gp
+        le = self.learnable_embeddings.astype(self.dtype)  # [n_le, le_len, H]
         le = self.le_dropout(self.le_norm(self.le_proj(le)), deterministic=not training)
-        return le
+        out = jnp.zeros(
+            (self.cfg.text.num_hidden_layers, gp.le_length, le.shape[-1]),
+            dtype=self.dtype,
+        )
+        return out.at[jnp.asarray(gp.le_layers)].set(le)
 
-    def _write_le(self, x: jnp.ndarray, le: jnp.ndarray, le_start: jnp.ndarray,
-                  add: bool) -> jnp.ndarray:
-        """Place (or residually add) le [le_len, H] at per-row offsets.
-
-        Implemented as a broadcasted select/add over a position mask so it
-        fuses into the surrounding layer math — a dynamic_update_slice here
-        would copy the whole [B, S, H] activation per le layer (the 7B recipe
-        applies le at every one of 28 layers)."""
-        b, s, h = x.shape
-        le_len = le.shape[0]
-        pos = jnp.arange(s)[None, :]  # [1, S]
-        offset = pos - le_start[:, None]  # [B, S]; 0..le_len-1 inside the slot
-        inside = (offset >= 0) & (offset < le_len)
-        le_rows = le[jnp.clip(offset, 0, le_len - 1)]  # [B, S, H]
-        le_rows = jnp.where(inside[..., None], le_rows.astype(x.dtype), 0)
-        if add:
-            return x + le_rows
-        return jnp.where(inside[..., None], le_rows, x)
+    @staticmethod
+    def _le_geometry(le_start: jnp.ndarray, S: int, le_length: int):
+        """(offset [B, S] clipped index into le_len, inside [B, S] bool)."""
+        pos = jnp.arange(S)[None, :]
+        offset = pos - le_start[:, None]
+        inside = (offset >= 0) & (offset < le_length)
+        return jnp.clip(offset, 0, le_length - 1).astype(jnp.int32), inside
 
     # ------------------------------------------------------------------ #
     # glimpse prefill, phase 1: encode + predict mask logits
@@ -196,12 +192,15 @@ class Qwen2_5_VL_GP(nn.Module):
 
         inject_le = gp.has_le and not use_ref_masks and le_start is not None
         le_mask = jnp.zeros((B, S), dtype=bool)
+        le_vecs = le_offset = le_inside = None
         if inject_le:
-            le = self._le_vector(0, training) if 0 in gp.le_layers else None
-            if le is not None:
-                embeds = self._write_le(embeds, le, le_start, add=False)
-            pos = jnp.arange(S)[None]
-            le_mask = (pos >= le_start[:, None]) & (pos < le_start[:, None] + gp.le_length)
+            le_vecs = self._le_vectors_all(training)  # [L, le_len, H]
+            le_offset, le_inside = self._le_geometry(le_start, S, gp.le_length)
+            le_mask = le_inside
+            if 0 in gp.le_layers:
+                # layer-0 splice: overwrite the placeholder-slot embeddings
+                le_rows = le_vecs[0][le_offset]
+                embeds = jnp.where(le_inside[..., None], le_rows.astype(embeds.dtype), embeds)
             q_index = le_start + gp.le_length - 1
         else:
             # no glimpse token: harvest from last valid position
@@ -213,13 +212,6 @@ class Qwen2_5_VL_GP(nn.Module):
         cos = cos.astype(self.dtype)
         sin = sin.astype(self.dtype)
 
-        def pre_layer(layer_id, x):
-            if inject_le and layer_id > 0 and layer_id in gp.le_layers:
-                return self._write_le(
-                    x, self._le_vector(layer_id, training), le_start, add=True
-                )
-            return x
-
         reduce_layer = min(gp.reduce_layer, c.text.num_hidden_layers - 1)
         harvest_layers = tuple(gp.selected_layers) if not use_ref_masks else ()
 
@@ -227,7 +219,9 @@ class Qwen2_5_VL_GP(nn.Module):
             embeds, cos, sin, valid,
             layer_start=0,
             layer_end=reduce_layer,
-            pre_layer_fn=pre_layer,
+            le_vecs=le_vecs,
+            le_offset=le_offset,
+            le_inside=le_inside,
             harvest_layers=harvest_layers,
             q_index=q_index,
             use_attention_logits=gp.use_attention_logits,
@@ -241,7 +235,9 @@ class Qwen2_5_VL_GP(nn.Module):
                 x, _, _ = self.text.run_layers(
                     x, cos, sin, valid,
                     layer_start=reduce_layer + 1,
-                    pre_layer_fn=pre_layer,
+                    le_vecs=le_vecs,
+                    le_offset=le_offset,
+                    le_inside=le_inside,
                     collect_kv=False,
                 )
             x = self.text.final_norm(x)

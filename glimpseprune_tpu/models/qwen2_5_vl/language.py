@@ -1,12 +1,15 @@
-"""Qwen2.5 text decoder: mRoPE GQA layers with harvest taps and a functional
-KV cache.
+"""Qwen2.5/Llama text decoder: scanned stacked layers, harvest taps, KV cache.
 
-The glimpse "harvest" (the reference's modified attention classes,
-model_gp.py:393-703) is a side output of prefill: one extra
-q_glimpse @ K^T einsum per selected layer, optionally masked log-softmaxed —
-it never touches the main attention computation, so the hot path stays fully
-fused. Layer ranges are first-class (run [0..reduce], then [reduce+1..end]
-on the compacted sequence) to support the two-phase pruned prefill.
+The decoder stack is ONE set of stacked parameters ([L, ...] leading axis on
+every leaf) driven by `lax.scan` — on TPU this keeps the HLO size constant in
+depth (the axon-tunnel AOT compiler is minutes-per-program on unrolled-layer
+graphs) and is the idiomatic XLA formulation. Layer ranges for the two-phase
+pruned prefill are static slices of the stacked tree.
+
+The glimpse "harvest" (reference modified attention classes,
+model_gp.py:393-703) is a per-layer side output of the scan: one
+q_glimpse @ K^T einsum, ~MFLOPs, masked/log-softmaxed after the scan for the
+selected layers only.
 """
 
 from __future__ import annotations
@@ -18,7 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from glimpseprune_tpu.config import TextConfig
-from glimpseprune_tpu.models.layers import GatedMLP, RMSNorm
 from glimpseprune_tpu.ops.attention import (
     causal_segment_attention,
     decode_attention,
@@ -26,129 +28,132 @@ from glimpseprune_tpu.ops.attention import (
 from glimpseprune_tpu.ops.rope import apply_rotary
 
 
-def harvest_attention_row(
-    q: jnp.ndarray,  # [B, S, Hq, D] post-rope queries
-    k: jnp.ndarray,  # [B, T, Hkv, D] post-rope keys
-    q_index: jnp.ndarray,  # [B] glimpse-token position
-    allowed_row: jnp.ndarray,  # [B, T] key positions the glimpse row may see
+# --------------------------------------------------------------------- #
+# pure layer math (params = one layer's subtree, no leading L axis)
+
+
+def _rms(x, weight, eps):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps)
+    return (weight.astype(jnp.float32) * xf).astype(x.dtype)
+
+
+def _dense(x, p, dtype):
+    y = x.astype(dtype) @ p["kernel"].astype(dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(dtype)
+    return y
+
+
+def _qkv(cfg: TextConfig, pl, x, cos, sin, dtype):
+    b, s, _ = x.shape
+    a = pl["self_attn"]
+    q = _dense(x, a["q_proj"], dtype).reshape(b, s, cfg.num_attention_heads, cfg.head_dim)
+    k = _dense(x, a["k_proj"], dtype).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
+    v = _dense(x, a["v_proj"], dtype).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
+    return apply_rotary(q, cos, sin), apply_rotary(k, cos, sin), v
+
+
+def _mlp(cfg: TextConfig, pl, x, dtype):
+    m = pl["mlp"]
+    return _dense(
+        nn.silu(_dense(x, m["gate_proj"], dtype)) * _dense(x, m["up_proj"], dtype),
+        m["down_proj"], dtype,
+    )
+
+
+def _layer_prefill(cfg: TextConfig, pl, x, cos, sin, valid, q_index, dtype):
+    """One decoder layer + the raw glimpse-row logits -> (x, k, v, row)."""
+    h = _rms(x, pl["input_layernorm"]["weight"], cfg.rms_norm_eps)
+    q, k, v = _qkv(cfg, pl, h, cos, sin, dtype)
+    attn = causal_segment_attention(q, k, v, valid)
+    b, s = x.shape[:2]
+    x = x + _dense(attn.reshape(b, s, -1), pl["self_attn"]["o_proj"], dtype)
+    x = x + _mlp(cfg, pl, _rms(x, pl["post_attention_layernorm"]["weight"], cfg.rms_norm_eps), dtype)
+
+    # raw q_glimpse @ K^T row (masking/log-softmax applied post-scan)
+    hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    sel_q = jnp.take_along_axis(q, q_index[:, None, None, None], axis=1)[:, 0]
+    k_exp = jnp.repeat(k, hq // hkv, axis=2)
+    row = jnp.einsum("bhd,bthd->bht", sel_q, k_exp, preferred_element_type=jnp.float32)
+    row = (row / jnp.sqrt(jnp.float32(cfg.head_dim))).transpose(0, 2, 1)  # [B, S, Hq]
+    return x, k, v, row
+
+
+def _layer_decode(cfg: TextConfig, pl, x, cos, sin, k_cache, v_cache, kv_valid,
+                  write_idx, dtype):
+    h = _rms(x, pl["input_layernorm"]["weight"], cfg.rms_norm_eps)
+    q, k, v = _qkv(cfg, pl, h, cos, sin, dtype)
+    k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k.astype(k_cache.dtype), write_idx, axis=1)
+    v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v.astype(v_cache.dtype), write_idx, axis=1)
+    attn = decode_attention(q, k_cache, v_cache, kv_valid)
+    b, s = x.shape[:2]
+    x = x + _dense(attn.reshape(b, s, -1), pl["self_attn"]["o_proj"], dtype)
+    x = x + _mlp(cfg, pl, _rms(x, pl["post_attention_layernorm"]["weight"], cfg.rms_norm_eps), dtype)
+    return x, k_cache, v_cache
+
+
+def harvest_postprocess(
+    raw_row: jnp.ndarray,       # [B, S, Hq] raw scaled logits
+    q_index: jnp.ndarray,       # [B]
+    valid: jnp.ndarray,         # [B, S]
     use_attention_logits: bool,
 ) -> jnp.ndarray:
-    """The glimpse token's cross-attention row over all keys -> [B, T, Hq].
-
-    With use_attention_logits=False this is the *masked log-softmax* row: the
-    normalization spans every non-masked key (causal+pad), exactly matching
-    the reference fuser-input distribution (model_gp.py:487-496) — SURVEY.md
-    §7 "hard parts".
-    """
-    b, s, hq, d = q.shape
-    hkv = k.shape[2]
-    sel_q = jnp.take_along_axis(q, q_index[:, None, None, None], axis=1)[:, 0]  # [B, Hq, D]
-    groups = hq // hkv
-    k_exp = jnp.repeat(k, groups, axis=2)  # [B, T, Hq, D]
-    logits = jnp.einsum("bhd,bthd->bht", sel_q, k_exp, preferred_element_type=jnp.float32)
-    logits = logits / jnp.sqrt(jnp.float32(d))
-    if not use_attention_logits:
-        logits = jnp.where(allowed_row[:, None, :], logits, -jnp.inf)
-        logits = jax.nn.log_softmax(logits, axis=-1)
-    return logits.transpose(0, 2, 1)  # [B, T, Hq]
+    """Reference harvest semantics (model_gp.py:487-496): raw logits, or the
+    masked log-softmax row whose normalization spans all non-masked keys."""
+    if use_attention_logits:
+        return raw_row
+    s = raw_row.shape[1]
+    causal_row = jnp.arange(s)[None, :] <= q_index[:, None]
+    allowed = valid & causal_row
+    logits = jnp.where(allowed[..., None], raw_row, -jnp.inf)
+    return jax.nn.log_softmax(logits, axis=1)
 
 
-class TextAttention(nn.Module):
-    cfg: TextConfig
-    dtype: jnp.dtype = jnp.float32
-    param_dtype: jnp.dtype = jnp.float32
+def _init_layer_stack(cfg: TextConfig, param_dtype):
+    """Initializer for the stacked layer pytree."""
+    L = cfg.num_hidden_layers
+    H = cfg.hidden_size
+    dq = cfg.num_attention_heads * cfg.head_dim
+    dkv = cfg.num_key_value_heads * cfg.head_dim
+    I = cfg.intermediate_size
 
-    def setup(self):
-        c = self.cfg
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        bias = c.attention_bias
-        self.q_proj = nn.Dense(c.num_attention_heads * c.head_dim, use_bias=bias, **kw)
-        self.k_proj = nn.Dense(c.num_key_value_heads * c.head_dim, use_bias=bias, **kw)
-        self.v_proj = nn.Dense(c.num_key_value_heads * c.head_dim, use_bias=bias, **kw)
-        self.o_proj = nn.Dense(c.hidden_size, use_bias=False, **kw)
+    def init(rng):
+        keys = jax.random.split(rng, 8)
 
-    def qkv(self, x, cos, sin):
-        c = self.cfg
-        b, s, _ = x.shape
-        q = self.q_proj(x).reshape(b, s, c.num_attention_heads, c.head_dim)
-        k = self.k_proj(x).reshape(b, s, c.num_key_value_heads, c.head_dim)
-        v = self.v_proj(x).reshape(b, s, c.num_key_value_heads, c.head_dim)
-        q = apply_rotary(q, cos, sin)
-        k = apply_rotary(k, cos, sin)
-        return q, k, v
+        def lecun(key, shape):
+            fan_in = shape[-2]
+            return (jax.random.normal(key, shape) / jnp.sqrt(fan_in)).astype(param_dtype)
 
-    def output(self, attn_out):
-        b, s = attn_out.shape[:2]
-        return self.o_proj(attn_out.reshape(b, s, -1))
+        def dense(key, fan_in, fan_out, bias):
+            d = {"kernel": lecun(key, (L, fan_in, fan_out))}
+            if bias:
+                d["bias"] = jnp.zeros((L, fan_out), param_dtype)
+            return d
 
+        ab = cfg.attention_bias
+        return {
+            "input_layernorm": {"weight": jnp.ones((L, H), jnp.float32)},
+            "post_attention_layernorm": {"weight": jnp.ones((L, H), jnp.float32)},
+            "self_attn": {
+                "q_proj": dense(keys[0], H, dq, ab),
+                "k_proj": dense(keys[1], H, dkv, ab),
+                "v_proj": dense(keys[2], H, dkv, ab),
+                "o_proj": dense(keys[3], dq, H, False),
+            },
+            "mlp": {
+                "gate_proj": dense(keys[4], H, I, False),
+                "up_proj": dense(keys[5], H, I, False),
+                "down_proj": dense(keys[6], I, H, False),
+            },
+        }
 
-class DecoderLayer(nn.Module):
-    cfg: TextConfig
-    dtype: jnp.dtype = jnp.float32
-    param_dtype: jnp.dtype = jnp.float32
-
-    def setup(self):
-        c = self.cfg
-        self.input_layernorm = RMSNorm(c.hidden_size, c.rms_norm_eps)
-        self.self_attn = TextAttention(c, dtype=self.dtype, param_dtype=self.param_dtype)
-        self.post_attention_layernorm = RMSNorm(c.hidden_size, c.rms_norm_eps)
-        self.mlp = GatedMLP(
-            c.hidden_size, c.intermediate_size, c.hidden_act, use_bias=False,
-            dtype=self.dtype, param_dtype=self.param_dtype,
-        )
-
-    def __call__(self, x, cos, sin, valid):
-        """Needed so linen init traverses the module; same as prefill."""
-        out, _, _, _ = self.prefill(x, cos, sin, valid)
-        return out
-
-    def prefill(
-        self,
-        x: jnp.ndarray,  # [B, S, H]
-        cos: jnp.ndarray,
-        sin: jnp.ndarray,
-        valid: jnp.ndarray,  # [B, S]
-        q_index: Optional[jnp.ndarray] = None,
-        harvest: bool = False,
-        use_attention_logits: bool = False,
-    ):
-        h = self.input_layernorm(x)
-        q, k, v = self.self_attn.qkv(h, cos, sin)
-        attn = causal_segment_attention(q, k, v, valid)
-        x = x + self.self_attn.output(attn)
-        x = x + self.mlp(self.post_attention_layernorm(x))
-
-        row = None
-        if harvest:
-            s = q.shape[1]
-            causal_row = jnp.arange(s)[None, :] <= q_index[:, None]
-            row = harvest_attention_row(
-                q, k, q_index, valid & causal_row, use_attention_logits
-            )
-        return x, k, v, row
-
-    def decode(
-        self,
-        x: jnp.ndarray,  # [B, S_new, H]
-        cos: jnp.ndarray,
-        sin: jnp.ndarray,
-        k_cache: jnp.ndarray,  # [B, T, Hkv, D]
-        v_cache: jnp.ndarray,
-        kv_valid: jnp.ndarray,  # [B, T] validity AFTER this write
-        write_idx: jnp.ndarray,  # scalar: slot of the first new token
-    ):
-        h = self.input_layernorm(x)
-        q, k, v = self.self_attn.qkv(h, cos, sin)
-        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k.astype(k_cache.dtype), write_idx, axis=1)
-        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v.astype(v_cache.dtype), write_idx, axis=1)
-        attn = decode_attention(q, k_cache, v_cache, kv_valid)
-        x = x + self.self_attn.output(attn)
-        x = x + self.mlp(self.post_attention_layernorm(x))
-        return x, k_cache, v_cache
+    return init
 
 
 class TextDecoder(nn.Module):
-    """Embedding + decoder stack + final norm + LM head, method-per-phase."""
+    """Embedding + scanned decoder stack + final norm + LM head."""
 
     cfg: TextConfig
     dtype: jnp.dtype = jnp.float32
@@ -158,17 +163,15 @@ class TextDecoder(nn.Module):
         c = self.cfg
         self.embed_tokens = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype,
                                      param_dtype=self.param_dtype)
-        self.layers = [
-            DecoderLayer(c, dtype=self.dtype, param_dtype=self.param_dtype, name=f"layers_{i}")
-            for i in range(c.num_hidden_layers)
-        ]
-        self.norm = RMSNorm(c.hidden_size, c.rms_norm_eps)
+        self.layers = self.param("layers", _init_layer_stack(c, self.param_dtype))
+        self.norm_weight = self.param(
+            "norm", lambda rng: {"weight": jnp.ones((c.hidden_size,), jnp.float32)}
+        )
         if not c.tie_word_embeddings:
             self.lm_head = nn.Dense(c.vocab_size, use_bias=False, dtype=self.dtype,
                                     param_dtype=self.param_dtype)
 
     def __call__(self, input_ids, cos, sin, valid):
-        """Init/traversal path: plain full prefill to logits."""
         x = self.embed(input_ids)
         x, _, _ = self.run_layers(x, cos, sin, valid)
         return self.logits(self.final_norm(x))
@@ -177,7 +180,7 @@ class TextDecoder(nn.Module):
         return self.embed_tokens(input_ids)
 
     def final_norm(self, x):
-        return self.norm(x)
+        return _rms(x, self.norm_weight["weight"], self.cfg.rms_norm_eps)
 
     def logits(self, x):
         if self.cfg.tie_word_embeddings:
@@ -192,60 +195,84 @@ class TextDecoder(nn.Module):
         valid: jnp.ndarray,
         layer_start: int = 0,
         layer_end: Optional[int] = None,
-        pre_layer_fn: Optional[Callable[[int, jnp.ndarray], jnp.ndarray]] = None,
+        le_vecs: Optional[jnp.ndarray] = None,   # [L_total, le_len, H] projected
+        le_offset: Optional[jnp.ndarray] = None,  # [B, S] clipped index into le_len
+        le_inside: Optional[jnp.ndarray] = None,  # [B, S] bool
         harvest_layers: Sequence[int] = (),
         q_index: Optional[jnp.ndarray] = None,
         use_attention_logits: bool = False,
         collect_kv: bool = True,
     ):
-        """Run layers [layer_start, layer_end] (inclusive).
+        """Run layers [layer_start, layer_end] (inclusive) as one lax.scan.
 
-        pre_layer_fn(layer_id, x) runs before each layer (glimpse-token
-        residual adds). Returns (x, kv [n_run, B, S, Hkv, D] | None,
-        harvests {layer_id: [B, S, Hq]}).
+        le_vecs (when given) are residually added at each layer's entry
+        wherever le_inside marks glimpse slots — except layer 0, whose
+        glimpse splice already happened at the embedding level (gp_model).
+        Returns (x, (kv_k, kv_v) each [n, B, S, Hkv, D] | None,
+        harvests {layer_id: [B, S, Hq] postprocessed rows}).
         """
+        cfg = self.cfg
         if layer_end is None:
-            layer_end = self.cfg.num_hidden_layers - 1
-        ks: List[jnp.ndarray] = []
-        vs: List[jnp.ndarray] = []
+            layer_end = cfg.num_hidden_layers - 1
+        n_run = layer_end - layer_start + 1
+        b, s, _ = x.shape
+        if q_index is None:
+            q_index = jnp.full((b,), s - 1, dtype=jnp.int32)
+
+        sliced = jax.tree_util.tree_map(
+            lambda a: jax.lax.slice_in_dim(a, layer_start, layer_end + 1, axis=0),
+            self.layers,
+        )
+        if le_vecs is not None:
+            le_sl = jax.lax.slice_in_dim(le_vecs, layer_start, layer_end + 1, axis=0)
+            if layer_start == 0:
+                le_sl = le_sl.at[0].set(0.0)
+        else:
+            le_sl = jnp.zeros((n_run, 1, x.shape[-1]), dtype=x.dtype)
+            le_offset = jnp.zeros((b, s), dtype=jnp.int32)
+            le_inside = jnp.zeros((b, s), dtype=bool)
+
+        dtype = self.dtype
+
+        def body(carry, scanned):
+            xc = carry
+            pl, le_vec = scanned
+            le_rows = le_vec[le_offset]  # [B, S, H]
+            xc = xc + jnp.where(le_inside[..., None], le_rows.astype(xc.dtype), 0)
+            xc, k, v, row = _layer_prefill(cfg, pl, xc, cos, sin, valid, q_index, dtype)
+            return xc, (k, v, row)
+
+        x, (ks, vs, rows) = jax.lax.scan(body, x, (sliced, le_sl))
+
         harvests: Dict[int, jnp.ndarray] = {}
-        for layer_id in range(layer_start, layer_end + 1):
-            if pre_layer_fn is not None:
-                x = pre_layer_fn(layer_id, x)
-            want_harvest = layer_id in harvest_layers
-            x, k, v, row = self.layers[layer_id].prefill(
-                x, cos, sin, valid,
-                q_index=q_index,
-                harvest=want_harvest,
-                use_attention_logits=use_attention_logits,
-            )
-            if collect_kv:
-                ks.append(k)
-                vs.append(v)
-            if want_harvest:
-                harvests[layer_id] = row
-        kv = None
-        if collect_kv:
-            kv = (jnp.stack(ks, axis=0), jnp.stack(vs, axis=0))
+        for lid in harvest_layers:
+            raw = rows[lid - layer_start]
+            harvests[lid] = harvest_postprocess(raw, q_index, valid, use_attention_logits)
+        kv = (ks, vs) if collect_kv else None
         return x, kv, harvests
 
     def decode_step(
         self,
-        input_ids: jnp.ndarray,  # [B, S_new]
+        input_ids: jnp.ndarray,   # [B, S_new]
         cos: jnp.ndarray,
         sin: jnp.ndarray,
-        k_cache: jnp.ndarray,  # [L, B, T, Hkv, D]
+        k_cache: jnp.ndarray,     # [L, B, T, Hkv, D]
         v_cache: jnp.ndarray,
-        kv_valid: jnp.ndarray,  # [B, T] validity incl. the new slots
-        write_idx: jnp.ndarray,  # scalar
+        kv_valid: jnp.ndarray,    # [B, T] validity incl. the new slots
+        write_idx: jnp.ndarray,   # scalar
     ):
+        cfg = self.cfg
+        dtype = self.dtype
         x = self.embed(input_ids)
-        new_k, new_v = [], []
-        for i, layer in enumerate(self.layers):
-            x, kc, vc = layer.decode(
-                x, cos, sin, k_cache[i], v_cache[i], kv_valid, write_idx
+
+        def body(carry, scanned):
+            xc = carry
+            pl, kc, vc = scanned
+            xc, kc, vc = _layer_decode(
+                cfg, pl, xc, cos, sin, kc, vc, kv_valid, write_idx, dtype
             )
-            new_k.append(kc)
-            new_v.append(vc)
+            return xc, (kc, vc)
+
+        x, (k_new, v_new) = jax.lax.scan(body, x, (self.layers, k_cache, v_cache))
         x = self.final_norm(x)
-        return self.logits(x), jnp.stack(new_k, 0), jnp.stack(new_v, 0)
+        return self.logits(x), k_new, v_new

@@ -49,12 +49,13 @@ def make_mesh(
 _RULES: Tuple[Tuple[str, P], ...] = (
     # ---- text decoder
     (r"text/embed_tokens/embedding", P("model", None)),
-    (r"text/layers_\d+/self_attn/(q_proj|k_proj|v_proj)/kernel", P(None, "model")),
-    (r"text/layers_\d+/self_attn/(q_proj|k_proj|v_proj)/bias", P("model")),
-    (r"text/layers_\d+/self_attn/o_proj/kernel", P("model", None)),
-    (r"text/layers_\d+/mlp/(gate_proj|up_proj)/kernel", P(None, "model")),
-    (r"text/layers_\d+/mlp/(gate_proj|up_proj)/bias", P("model")),
-    (r"text/layers_\d+/mlp/down_proj/kernel", P("model", None)),
+    # stacked layers: leading axis is depth (scanned), never sharded
+    (r"text/layers/self_attn/(q_proj|k_proj|v_proj)/kernel", P(None, None, "model")),
+    (r"text/layers/self_attn/(q_proj|k_proj|v_proj)/bias", P(None, "model")),
+    (r"text/layers/self_attn/o_proj/kernel", P(None, "model", None)),
+    (r"text/layers/mlp/(gate_proj|up_proj)/kernel", P(None, None, "model")),
+    (r"text/layers/mlp/(gate_proj|up_proj)/bias", P(None, "model")),
+    (r"text/layers/mlp/down_proj/kernel", P(None, "model", None)),
     (r"text/lm_head/kernel", P(None, "model")),
     # ---- vision tower
     (r"visual/blocks_\d+/attn/qkv/kernel", P(None, "model")),

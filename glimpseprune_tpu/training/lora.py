@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-DEFAULT_TARGETS = r"text/layers_\d+/(self_attn/(q_proj|k_proj|v_proj|o_proj)|mlp/(gate_proj|up_proj|down_proj))/kernel"
+DEFAULT_TARGETS = r"text/layers/(self_attn/(q_proj|k_proj|v_proj|o_proj)|mlp/(gate_proj|up_proj|down_proj))/kernel"
 
 
 def _path_str(path) -> str:
@@ -40,13 +40,18 @@ def make_lora_params(
 
     def visit(path, leaf):
         p = _path_str(path)
-        if pattern.fullmatch(p) and leaf.ndim == 2:
-            fan_in, fan_out = leaf.shape
+        if pattern.fullmatch(p) and leaf.ndim in (2, 3):
+            if leaf.ndim == 2:
+                fan_in, fan_out = leaf.shape
+                a_shape, b_shape = (fan_in, rank), (rank, fan_out)
+            else:  # stacked [L, in, out]: independent adapters per layer
+                L, fan_in, fan_out = leaf.shape
+                a_shape, b_shape = (L, fan_in, rank), (L, rank, fan_out)
             flat[p] = {
                 "a": jnp.asarray(
-                    rng.normal(0, 1.0 / max(rank, 1), (fan_in, rank)), dtype=dtype
+                    rng.normal(0, 1.0 / max(rank, 1), a_shape), dtype=dtype
                 ),
-                "b": jnp.zeros((rank, fan_out), dtype=dtype),
+                "b": jnp.zeros(b_shape, dtype=dtype),
             }
         return leaf
 
@@ -67,7 +72,12 @@ def apply_lora(
         p = _path_str(path)
         if p in lora:
             ab = lora[p]
-            delta = (ab["a"].astype(jnp.float32) @ ab["b"].astype(jnp.float32)) * scale
+            a = ab["a"].astype(jnp.float32)
+            b = ab["b"].astype(jnp.float32)
+            if a.ndim == 3:
+                delta = jnp.einsum("lir,lro->lio", a, b) * scale
+            else:
+                delta = (a @ b) * scale
             return (leaf.astype(jnp.float32) + delta).astype(leaf.dtype)
         return leaf
 

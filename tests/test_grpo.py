@@ -32,22 +32,24 @@ def test_lora_make_apply():
     prep, _ = build_batch(cfg, rng, with_labels=False)
     _, params = init_params(cfg, prep)
     lora = make_lora_params(params, rank=4)
-    n_layers = cfg.text.num_hidden_layers
-    assert len(lora) == n_layers * 7  # qkv+o + gate/up/down per layer
+    # stacked layout: one [L, ., .] adapter pair per proj type
+    assert len(lora) == 7  # q/k/v/o + gate/up/down
+    k0 = "text/layers/self_attn/q_proj/kernel"
+    L = cfg.text.num_hidden_layers
+    assert lora[k0]["a"].shape[0] == L
     assert lora_param_count(lora) > 0
     # B init zero -> apply is identity
     merged = apply_lora(params, lora)
-    k0 = "text/layers_0/self_attn/q_proj/kernel"
     np.testing.assert_array_equal(
-        np.asarray(merged["text"]["layers_0"]["self_attn"]["q_proj"]["kernel"]),
-        np.asarray(params["text"]["layers_0"]["self_attn"]["q_proj"]["kernel"]),
+        np.asarray(merged["text"]["layers"]["self_attn"]["q_proj"]["kernel"]),
+        np.asarray(params["text"]["layers"]["self_attn"]["q_proj"]["kernel"]),
     )
     # nonzero B changes the kernel
     lora[k0]["b"] = lora[k0]["b"] + 0.1
     merged2 = apply_lora(params, lora)
     assert not np.allclose(
-        np.asarray(merged2["text"]["layers_0"]["self_attn"]["q_proj"]["kernel"]),
-        np.asarray(params["text"]["layers_0"]["self_attn"]["q_proj"]["kernel"]),
+        np.asarray(merged2["text"]["layers"]["self_attn"]["q_proj"]["kernel"]),
+        np.asarray(params["text"]["layers"]["self_attn"]["q_proj"]["kernel"]),
     )
 
 
