@@ -62,9 +62,10 @@ def convert_vision(sd: Mapping[str, Any], cfg: ModelConfig) -> Dict[str, Any]:
     p: Dict[str, Any] = {}
     pe = _np(sd["visual.patch_embed.proj.weight"])  # [hidden, C, tps, ps, ps]
     p["patch_embed"] = {"kernel": pe.reshape(v.hidden_size, -1).T}
+    per_block = []
     for i in range(v.depth):
         b = f"visual.blocks.{i}"
-        p[f"blocks_{i}"] = {
+        per_block.append({
             "norm1": _norm(sd, f"{b}.norm1"),
             "norm2": _norm(sd, f"{b}.norm2"),
             "attn": {
@@ -76,12 +77,13 @@ def convert_vision(sd: Mapping[str, Any], cfg: ModelConfig) -> Dict[str, Any]:
                 "up_proj": _dense(sd, f"{b}.mlp.up_proj", bias=True),
                 "down_proj": _dense(sd, f"{b}.mlp.down_proj", bias=True),
             },
-        }
-    p["merger"] = {
-        "ln_q": _norm(sd, "visual.merger.ln_q"),
-        "fc1": _dense(sd, "visual.merger.mlp.0", bias=True),
-        "fc2": _dense(sd, "visual.merger.mlp.2", bias=True),
-    }
+        })
+    import jax
+
+    p["blocks"] = jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *per_block)
+    p["merger_ln_q"] = _norm(sd, "visual.merger.ln_q")
+    p["merger_fc1"] = _dense(sd, "visual.merger.mlp.0", bias=True)
+    p["merger_fc2"] = _dense(sd, "visual.merger.mlp.2", bias=True)
     return p
 
 

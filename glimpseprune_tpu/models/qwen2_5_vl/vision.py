@@ -1,124 +1,127 @@
 """Windowed vision transformer (Qwen2.5-VL-style) with feature taps.
 
-Runs on the *window-ordered packed* patch sequence (permutation applied on
-host/device boundary, see preprocessing/geometry.py). Window vs full
-attention per block is encoded in per-patch segment ids, replacing the
-reference's cu_seqlens machinery (model_gp.py:1779-1801 `_visual_forward`).
-Feature taps for the GP fuser (merge-unit mean-pooled hidden states at
-`selected_visual_layers`) stay in window order — the reference un-permutes
-then re-permutes them (model_gp.py:1811, :275); we skip the round trip.
+Runs on the *window-padded packed* patch layout (preprocessing/geometry.py):
+windowed blocks use dense batched [n_windows, wp] attention, the few
+full-attention blocks use flash/segment attention over per-image segment ids
+(replacing the reference's cu_seqlens machinery, model_gp.py:1779-1801).
+
+Depth is organized as scanned runs: consecutive windowed blocks share one
+stacked-param lax.scan, full-attention blocks are unrolled individually —
+HLO stays small (the axon AOT compiler is minutes-per-program on unrolled
+graphs) and the fullatt boundaries are exactly where the GP taps and
+VisionZip/VScan importance probes live (Qwen2.5-VL: fullatt_block_indexes ==
+default selected_visual_layers == (7, 15, 23, 31)).
+
+Feature taps stay in slot order — the reference un-permutes then re-permutes
+them (model_gp.py:1811, :275); we skip the round trip.
 """
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from glimpseprune_tpu.config import VisionConfig
-from glimpseprune_tpu.models.layers import GatedMLP, RMSNorm
+from glimpseprune_tpu.models.layers import ACT2FN
 from glimpseprune_tpu.ops.attention import batched_window_attention, segment_attention
 from glimpseprune_tpu.ops.rope import apply_rotary, vision_rope_cos_sin
 
 
-class VisionAttention(nn.Module):
-    cfg: VisionConfig
-    dtype: jnp.dtype = jnp.float32
-    param_dtype: jnp.dtype = jnp.float32
-
-    window_patches: int = 0  # >0: dense batched window attention path
-
-    @nn.compact
-    def __call__(self, x, cos, sin, segment_ids, valid, emit_importance: bool = False):
-        c = self.cfg
-        p = x.shape[0]
-        qkv = nn.Dense(3 * c.hidden_size, use_bias=True, dtype=self.dtype,
-                       param_dtype=self.param_dtype, name="qkv")(x)
-        q, k, v = jnp.split(qkv.reshape(p, 3, c.num_heads, c.head_dim), 3, axis=1)
-        q, k, v = q[:, 0], k[:, 0], v[:, 0]  # [P, H, D]
-        q = apply_rotary(q[None], cos[None], sin[None])[0]
-        k = apply_rotary(k[None], cos[None], sin[None])[0]
-        if self.window_patches > 0:
-            out = batched_window_attention(q, k, v, valid, self.window_patches)
-        else:
-            out = segment_attention(q, k, v, segment_ids)
-        out = out.reshape(p, c.hidden_size)
-
-        importance = None
-        if emit_importance:
-            # VisionZip importance: head-mean softmax attention *received* per
-            # key, and head-mean post-rope keys for the contextual-merge
-            # metric (reference qwen_visionzip/qwen2_5vl_visionzip.py:598-615)
-            import jax
-            scale = 1.0 / jnp.sqrt(jnp.float32(c.head_dim))
-            logits = jnp.einsum(
-                "shd,thd->hst", q, k, preferred_element_type=jnp.float32
-            ) * scale
-            allowed = (segment_ids[:, None] == segment_ids[None, :]) & (
-                segment_ids >= 0
-            )[:, None]
-            allowed = allowed | jnp.eye(p, dtype=bool)
-            logits = jnp.where(allowed[None], logits, -1e30)
-            probs = jax.nn.softmax(logits, axis=-1)
-            received = probs.mean(0).sum(0)  # [P]
-            keys_mean = k.astype(jnp.float32).mean(axis=1)  # [P, D]
-            importance = (received, keys_mean)
-
-        out = nn.Dense(c.hidden_size, use_bias=True, dtype=self.dtype,
-                       param_dtype=self.param_dtype, name="proj")(out)
-        if emit_importance:
-            return out, importance
-        return out
+# --------------------------------------------------------------------- #
+# pure block math (params = one block's subtree)
 
 
-class VisionBlock(nn.Module):
-    cfg: VisionConfig
-    dtype: jnp.dtype = jnp.float32
-    param_dtype: jnp.dtype = jnp.float32
-    window_patches: int = 0
-
-    @nn.compact
-    def __call__(self, x, cos, sin, segment_ids, valid, emit_importance: bool = False):
-        c = self.cfg
-        attn_out = VisionAttention(c, dtype=self.dtype, param_dtype=self.param_dtype,
-                                   window_patches=self.window_patches, name="attn")(
-            RMSNorm(c.hidden_size, 1e-6, name="norm1")(x), cos, sin, segment_ids, valid,
-            emit_importance=emit_importance,
-        )
-        importance = None
-        if emit_importance:
-            attn_out, importance = attn_out
-        h = x + attn_out
-        h = h + GatedMLP(
-            c.hidden_size, c.intermediate_size, c.hidden_act, use_bias=True,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="mlp",
-        )(RMSNorm(c.hidden_size, 1e-6, name="norm2")(h))
-        if emit_importance:
-            return h, importance
-        return h
+def _rms(x, weight, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps)
+    return (weight.astype(jnp.float32) * xf).astype(x.dtype)
 
 
-class PatchMerger(nn.Module):
-    cfg: VisionConfig
-    dtype: jnp.dtype = jnp.float32
-    param_dtype: jnp.dtype = jnp.float32
+def _dense(x, p, dtype):
+    y = x.astype(dtype) @ p["kernel"].astype(dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(dtype)
+    return y
 
-    @nn.compact
-    def __call__(self, x):
-        c = self.cfg
-        mu = c.spatial_merge_unit
-        x = RMSNorm(c.hidden_size, 1e-6, name="ln_q")(x)
-        x = x.reshape(-1, mu * c.hidden_size)
-        x = nn.Dense(mu * c.hidden_size, use_bias=True, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
-        return nn.Dense(c.out_hidden_size, use_bias=True, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="fc2")(x)
+
+def _block_qkv(cfg: VisionConfig, pb, x, cos, sin, dtype):
+    p = x.shape[0]
+    qkv = _dense(x, pb["attn"]["qkv"], dtype)
+    q, k, v = jnp.split(qkv.reshape(p, 3, cfg.num_heads, cfg.head_dim), 3, axis=1)
+    q, k, v = q[:, 0], k[:, 0], v[:, 0]
+    q = apply_rotary(q[None], cos[None], sin[None])[0]
+    k = apply_rotary(k[None], cos[None], sin[None])[0]
+    return q, k, v
+
+
+def _block_fwd(cfg: VisionConfig, pb, x, cos, sin, segment_ids, valid, wp: int,
+               dtype, emit_importance: bool = False):
+    """One ViT block; wp > 0 selects the dense window path."""
+    h = _rms(x, pb["norm1"]["weight"])
+    q, k, v = _block_qkv(cfg, pb, h, cos, sin, dtype)
+    if wp > 0:
+        attn = batched_window_attention(q, k, v, valid, wp)
+    else:
+        attn = segment_attention(q, k, v, segment_ids)
+    p = x.shape[0]
+    x = x + _dense(attn.reshape(p, cfg.hidden_size), pb["attn"]["proj"], dtype)
+
+    importance = None
+    if emit_importance:
+        # attention *received* per key + head-mean keys (VisionZip/VScan,
+        # reference qwen_visionzip/qwen2_5vl_visionzip.py:598-615)
+        scale = 1.0 / jnp.sqrt(jnp.float32(cfg.head_dim))
+        logits = jnp.einsum("shd,thd->hst", q, k, preferred_element_type=jnp.float32) * scale
+        allowed = (segment_ids[:, None] == segment_ids[None, :]) & (segment_ids >= 0)[:, None]
+        allowed = allowed | jnp.eye(p, dtype=bool)
+        logits = jnp.where(allowed[None], logits, -1e30)
+        probs = jax.nn.softmax(logits, axis=-1)
+        importance = (probs.mean(0).sum(0), k.astype(jnp.float32).mean(axis=1))
+
+    hm = _rms(x, pb["norm2"]["weight"])
+    act = ACT2FN[cfg.hidden_act]
+    m = pb["mlp"]
+    x = x + _dense(act(_dense(hm, m["gate_proj"], dtype)) * _dense(hm, m["up_proj"], dtype),
+                   m["down_proj"], dtype)
+    if emit_importance:
+        return x, importance
+    return x
+
+
+def _init_block_stack(cfg: VisionConfig, n_blocks: int, param_dtype):
+    H, I = cfg.hidden_size, cfg.intermediate_size
+
+    def init(rng):
+        keys = jax.random.split(rng, 6)
+
+        def dense(key, fan_in, fan_out):
+            k = (jax.random.normal(key, (n_blocks, fan_in, fan_out)) / jnp.sqrt(fan_in))
+            return {"kernel": k.astype(param_dtype),
+                    "bias": jnp.zeros((n_blocks, fan_out), param_dtype)}
+
+        return {
+            "norm1": {"weight": jnp.ones((n_blocks, H), jnp.float32)},
+            "norm2": {"weight": jnp.ones((n_blocks, H), jnp.float32)},
+            "attn": {
+                "qkv": dense(keys[0], H, 3 * H),
+                "proj": dense(keys[1], H, H),
+            },
+            "mlp": {
+                "gate_proj": dense(keys[2], H, I),
+                "up_proj": dense(keys[3], H, I),
+                "down_proj": dense(keys[4], I, H),
+            },
+        }
+
+    return init
 
 
 class VisionTransformer(nn.Module):
-    """Packed, window-ordered ViT.
+    """Window-padded packed ViT with scanned windowed runs.
 
     Inputs (window-padded slot layout, preprocessing/geometry.py):
       patches   [P, in_dim]  P = n_windows * window_patches
@@ -126,9 +129,10 @@ class VisionTransformer(nn.Module):
       full_seg  [P]          image ids for full-attention blocks (-1 = pad)
       valid     [P]          real-patch mask
 
-    Returns:
-      merged [P//merge_unit, out_hidden]  (window order)
-      taps   list of [P//merge_unit, hidden] at tap_layers (window order)
+    Returns (merged [P//mu, out_hidden], taps list, [importance]) in slot
+    order. Taps must sit at full-attention block indexes (they do for every
+    published Qwen2.5-VL config); importance = (received_last, keys_last,
+    received_local) for VisionZip/VScan.
     """
 
     cfg: VisionConfig
@@ -136,50 +140,93 @@ class VisionTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        c = self.cfg
+        self.patch_embed = nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype,
+                                    param_dtype=self.param_dtype)
+        self.blocks = self.param(
+            "blocks", _init_block_stack(c, c.depth, self.param_dtype)
+        )
+        self.merger_ln_q = self.param(
+            "merger_ln_q", lambda rng: {"weight": jnp.ones((c.hidden_size,), jnp.float32)}
+        )
+        mu = c.spatial_merge_unit
+        self.merger_fc1 = nn.Dense(mu * c.hidden_size, use_bias=True, dtype=self.dtype,
+                                   param_dtype=self.param_dtype)
+        self.merger_fc2 = nn.Dense(c.out_hidden_size, use_bias=True, dtype=self.dtype,
+                                   param_dtype=self.param_dtype)
+
     def __call__(self, patches, pos_ids, full_seg, valid, emit_importance: bool = False):
         c = self.cfg
         mu = c.spatial_merge_unit
         win = c.window_size // c.spatial_merge_size // c.patch_size
         wp = win * win * mu
-        x = nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="patch_embed")(
-            patches.astype(self.dtype)
-        )
+        x = self.patch_embed(patches.astype(self.dtype))
         cos, sin = vision_rope_cos_sin(pos_ids, c.head_dim)
         cos = cos.astype(self.dtype)
         sin = sin.astype(self.dtype)
 
+        fullatt = set(c.fullatt_block_indexes)
+        first_fullatt = min(fullatt) if fullatt else 0
+
+        def scan_run(x, start, end):
+            """Scan windowed blocks [start, end)."""
+            if start >= end:
+                return x
+            sliced = jax.tree_util.tree_map(
+                lambda a: jax.lax.slice_in_dim(a, start, end, axis=0), self.blocks
+            )
+
+            def body(carry, pb):
+                return _block_fwd(c, pb, carry, cos, sin, full_seg, valid, wp,
+                                  self.dtype), None
+
+            x, _ = jax.lax.scan(body, x, sliced)
+            return x
+
         taps: List[Optional[jnp.ndarray]] = [None] * len(self.tap_layers)
         importance = None
         received_local = None
-        first_fullatt = min(c.fullatt_block_indexes) if c.fullatt_block_indexes else 0
-        for i in range(c.depth):
-            is_full = i in c.fullatt_block_indexes
-            # importance taps: last block (VisionZip dominant scores + merge
-            # keys) and the first full-attention block (VScan local scan)
-            want_imp = emit_importance and (i == c.depth - 1 or i == first_fullatt)
-            out = VisionBlock(c, dtype=self.dtype, param_dtype=self.param_dtype,
-                              window_patches=0 if is_full else wp,
-                              name=f"blocks_{i}")(x, cos, sin, full_seg, valid,
-                                                  emit_importance=want_imp)
-            x = out[0] if want_imp else out
+        cursor = 0
+        # unroll at: full-attention blocks, tap layers, and (for importance)
+        # the final block; everything between is one scanned run
+        boundary_set = fullatt | set(self.tap_layers)
+        if emit_importance:
+            boundary_set |= {first_fullatt, c.depth - 1}
+        boundaries = sorted(b for b in boundary_set if 0 <= b < c.depth)
+        for bidx in boundaries:
+            x = scan_run(x, cursor, bidx)
+            pb = jax.tree_util.tree_map(lambda a: a[bidx], self.blocks)
+            is_full = bidx in fullatt
+            want_imp = emit_importance and (bidx == c.depth - 1 or bidx == first_fullatt)
+            out = _block_fwd(c, pb, x, cos, sin, full_seg, valid,
+                             0 if is_full else wp, self.dtype,
+                             emit_importance=want_imp)
             if want_imp:
-                received, keys_mean = out[1]
+                x, (received, keys_mean) = out
                 pooled = received.reshape(-1, mu).mean(axis=1)
-                if i == first_fullatt:
+                if bidx == first_fullatt:
                     received_local = pooled
-                if i == c.depth - 1:
+                if bidx == c.depth - 1:
                     importance = (
                         pooled,
                         keys_mean.reshape(-1, mu, keys_mean.shape[-1]).mean(axis=1),
                         received_local if received_local is not None else pooled,
                     )
-            if i in self.tap_layers:
-                pos = self.tap_layers.index(i)
-                taps[pos] = x.reshape(-1, mu, c.hidden_size).mean(axis=1)
+            else:
+                x = out
+            if bidx in self.tap_layers:
+                taps[self.tap_layers.index(bidx)] = (
+                    x.reshape(-1, mu, c.hidden_size).mean(axis=1)
+                )
+            cursor = bidx + 1
+        x = scan_run(x, cursor, c.depth)
 
-        merged = PatchMerger(c, dtype=self.dtype, param_dtype=self.param_dtype, name="merger")(x)
+        merged = _rms(x, self.merger_ln_q["weight"])
+        merged = merged.reshape(-1, mu * c.hidden_size)
+        merged = self.merger_fc1(merged)
+        merged = nn.gelu(merged, approximate=False)
+        merged = self.merger_fc2(merged)
         if emit_importance:
             return merged, taps, importance
         return merged, taps

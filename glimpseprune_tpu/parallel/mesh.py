@@ -57,16 +57,16 @@ _RULES: Tuple[Tuple[str, P], ...] = (
     (r"text/layers/mlp/(gate_proj|up_proj)/bias", P(None, "model")),
     (r"text/layers/mlp/down_proj/kernel", P(None, "model", None)),
     (r"text/lm_head/kernel", P(None, "model")),
-    # ---- vision tower
-    (r"visual/blocks_\d+/attn/qkv/kernel", P(None, "model")),
-    (r"visual/blocks_\d+/attn/qkv/bias", P("model")),
-    (r"visual/blocks_\d+/attn/proj/kernel", P("model", None)),
-    (r"visual/blocks_\d+/mlp/(gate_proj|up_proj)/kernel", P(None, "model")),
-    (r"visual/blocks_\d+/mlp/(gate_proj|up_proj)/bias", P("model")),
-    (r"visual/blocks_\d+/mlp/down_proj/kernel", P("model", None)),
-    (r"visual/merger/fc1/kernel", P(None, "model")),
-    (r"visual/merger/fc1/bias", P("model")),
-    (r"visual/merger/fc2/kernel", P("model", None)),
+    # ---- vision tower (stacked blocks: leading depth axis unsharded)
+    (r"visual/blocks/attn/qkv/kernel", P(None, None, "model")),
+    (r"visual/blocks/attn/qkv/bias", P(None, "model")),
+    (r"visual/blocks/attn/proj/kernel", P(None, "model", None)),
+    (r"visual/blocks/mlp/(gate_proj|up_proj)/kernel", P(None, None, "model")),
+    (r"visual/blocks/mlp/(gate_proj|up_proj)/bias", P(None, "model")),
+    (r"visual/blocks/mlp/down_proj/kernel", P(None, "model", None)),
+    (r"visual/merger_fc1/kernel", P(None, "model")),
+    (r"visual/merger_fc1/bias", P("model")),
+    (r"visual/merger_fc2/kernel", P("model", None)),
 )
 
 
