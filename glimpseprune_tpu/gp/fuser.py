@@ -52,14 +52,16 @@ class FuserGeometry:
 
 
 def build_fuser_geometry(
-    grid_hw_list,  # list of (h_merged, w_merged) per row; h*w <= n_slots
+    grid_hw_list,  # per row: (h, w) or a LIST of (h, w) for multi-image rows
     n_slots: int,
     window_size: int,
     spatial_merge_size: int,
     patch_size: int,
     attn_fuse_global: bool,
 ) -> FuserGeometry:
-    """Per-row single-image geometry for the batched fuser."""
+    """Per-row fuser geometry; multi-image rows concatenate their images'
+    token spans (the reference fuser runs the packed multi-image sequence
+    with cu_seqlens boundaries; here per-image segment-id offsets)."""
     from glimpseprune_tpu.preprocessing.geometry import (
         get_window_index,
         segment_ids_from_cu_seqlens,
@@ -73,27 +75,34 @@ def build_fuser_geometry(
     segs = np.full((B, n_slots), -1, dtype=np.int32)
     pos = np.zeros((B, n_slots, 2), dtype=np.int32)
     valid = np.zeros((B, n_slots), dtype=bool)
-    for b, (h, w) in enumerate(grid_hw_list):
-        n = int(h) * int(w)
-        grid = np.array([[1, h * spatial_merge_size, w * spatial_merge_size]])
-        widx, cu_win = get_window_index(grid, window_size, spatial_merge_size, patch_size)
-        if attn_fuse_global:
-            seg_merged = np.zeros(n, dtype=np.int32)
-        else:
-            # cu_window_seqlens are patch-level; /mu gives merged-token level
-            seg_merged = segment_ids_from_cu_seqlens(cu_win // mu, n)
-        p_nat = vision_pos_ids(grid, spatial_merge_size)  # patch-level, merge order
-        # merged-token positions = first patch of each merge group // merge size
-        p_merged = p_nat.reshape(n, mu, 2)[:, 0] // spatial_merge_size
-        win_idx[b, :n] = widx
-        rev_idx[b, :n] = np.argsort(widx)
-        segs[b, :n] = seg_merged
-        pos[b, :n] = p_merged[widx]
-        valid[b, :n] = True
-        # padding slots permute to themselves (identity beyond n)
-        if n < n_slots:
-            win_idx[b, n:] = np.arange(n, n_slots)
-            rev_idx[b, n:] = np.arange(n, n_slots)
+    for b, grids in enumerate(grid_hw_list):
+        if grids and isinstance(grids[0], (int, np.integer)):
+            grids = [grids]  # single (h, w)
+        off = 0
+        seg_off = 0
+        for (h, w) in grids:
+            n = int(h) * int(w)
+            grid = np.array([[1, h * spatial_merge_size, w * spatial_merge_size]])
+            widx, cu_win = get_window_index(
+                grid, window_size, spatial_merge_size, patch_size
+            )
+            if attn_fuse_global:
+                seg_merged = np.zeros(n, dtype=np.int32)
+                n_segs = 1
+            else:
+                seg_merged = segment_ids_from_cu_seqlens(cu_win // mu, n)
+                n_segs = int(seg_merged.max()) + 1 if n else 0
+            p_nat = vision_pos_ids(grid, spatial_merge_size)
+            p_merged = p_nat.reshape(n, mu, 2)[:, 0] // spatial_merge_size
+            win_idx[b, off : off + n] = off + widx
+            segs[b, off : off + n] = seg_off + seg_merged
+            pos[b, off : off + n] = p_merged[widx]
+            valid[b, off : off + n] = True
+            off += n
+            seg_off += n_segs
+        if off < n_slots:
+            win_idx[b, off:] = np.arange(off, n_slots)
+        rev_idx[b] = np.argsort(win_idx[b])
     return FuserGeometry(win_idx, rev_idx, segs, pos, valid)
 
 

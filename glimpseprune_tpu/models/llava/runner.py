@@ -158,9 +158,11 @@ def prepare_llava_inputs(
         packed_idx=packed_idx,
         img_slots=img_slots,
         img_valid=img_valid,
+        img_group=np.zeros((B, N), dtype=np.int32),
         fuser=fuser,
         le_start=le_start_arr if gp.has_le else None,
         grids=np.broadcast_to(np.array([1, g, g]), (B, 3)).copy(),
+        grid_hw_rows=[[(g, g)] for _ in range(B)],
         out_len=out_len,
         n_img_tokens=np.full((B,), N, dtype=np.int64),
         ref_token_masks=ref_masks,

@@ -34,7 +34,10 @@ from glimpseprune_tpu.ops.compaction import (
     gather_positions,
     gather_tokens,
 )
-from glimpseprune_tpu.ops.keep_policy import keep_scores_with_policy
+from glimpseprune_tpu.ops.keep_policy import (
+    keep_scores_with_policy,
+    keep_scores_with_policy_grouped,
+)
 from glimpseprune_tpu.ops.rope import mrope_cos_sin
 
 
@@ -53,6 +56,7 @@ class GlimpseState(NamedTuple):
     keep_base: jnp.ndarray       # [B, S] text-keep mask (valid minus le slots)
     img_slots: jnp.ndarray       # [B, N]
     img_valid: jnp.ndarray       # [B, N]
+    img_group: Optional[jnp.ndarray]  # [B, N] per-image ids (multi-image rows)
 
 
 class GlimpseOutputs(NamedTuple):
@@ -178,6 +182,7 @@ class Qwen2_5_VL_GP(nn.Module):
         ref_token_masks: Optional[jnp.ndarray] = None,  # [B, N] bool
         use_ref_masks: bool = False,
         training: bool = False,
+        img_group: Optional[jnp.ndarray] = None,  # [B, N] multi-image ids
     ) -> Tuple[jnp.ndarray, GlimpseState, Optional[jnp.ndarray]]:
         c = self.cfg
         gp = c.gp
@@ -286,6 +291,7 @@ class Qwen2_5_VL_GP(nn.Module):
             keep_base=valid & ~le_mask,
             img_slots=img_slots,
             img_valid=img_valid,
+            img_group=img_group,
         )
         return mask_logits, state, le_loss
 
@@ -304,11 +310,19 @@ class Qwen2_5_VL_GP(nn.Module):
         B, S = state.input_ids.shape
 
         probs = jax.nn.sigmoid(mask_logits[-1].astype(jnp.float32))
-        keep_img = keep_scores_with_policy(
-            probs, state.img_valid,
-            gp.reduce_threshold, gp.max_remain_ratio, gp.min_remain_num,
-            anchor_mask,
-        )
+        if state.img_group is not None:
+            # multi-image rows: per-image threshold/cap/floor
+            keep_img = keep_scores_with_policy_grouped(
+                probs, state.img_valid, state.img_group,
+                gp.reduce_threshold, gp.max_remain_ratio, gp.min_remain_num,
+                anchor_mask,
+            )
+        else:
+            keep_img = keep_scores_with_policy(
+                probs, state.img_valid,
+                gp.reduce_threshold, gp.max_remain_ratio, gp.min_remain_num,
+                anchor_mask,
+            )
 
         keep = _scatter_rows(state.keep_base, state.img_slots, keep_img, state.img_valid)
         plan = compaction_indices(keep, out_len)
@@ -358,7 +372,9 @@ class Qwen2_5_VL_GP(nn.Module):
     # ------------------------------------------------------------------ #
     # one-shot pruned prefill (inference product path)
 
-    def glimpse_prefill(self, out_len: int, anchor_mask=None, **encode_kwargs) -> GlimpseOutputs:
+    def glimpse_prefill(self, out_len: int, anchor_mask=None,
+                        img_group=None, **encode_kwargs) -> GlimpseOutputs:
+        encode_kwargs["img_group"] = img_group
         mask_logits, state, le_loss = self.glimpse_encode(**encode_kwargs)
         out = self.reduce_and_resume(state, mask_logits, out_len, anchor_mask)
         return out._replace(le_loss=le_loss)

@@ -44,11 +44,13 @@ class PreparedInputs:
     packed_idx: np.ndarray         # [B, N]
     img_slots: np.ndarray          # [B, N]
     img_valid: np.ndarray          # [B, N]
+    img_group: np.ndarray          # [B, N] image index per slot (multi-image)
     fuser: FuserGeometry
     le_start: Optional[np.ndarray]  # [B]
-    grids: np.ndarray              # [B, 3]
+    grids: np.ndarray              # [n_total_images, 3] flat, marker order
     out_len: int
     n_img_tokens: np.ndarray       # [B]
+    grid_hw_rows: Optional[list] = None  # per row: [(h, w), ...] merged grids
     ref_token_masks: Optional[np.ndarray] = None  # [B, N]
     anchor_mask: Optional[np.ndarray] = None      # [B, N]
     labels: Optional[np.ndarray] = None           # [B, S]
@@ -67,11 +69,13 @@ def prepare_inputs(
 ) -> PreparedInputs:
     """Build statically-shaped model inputs for one batch.
 
-    prompt_ids: token id lists containing exactly one `cfg.image_token_id`
-    marker per image (un-expanded, reference processor semantics
-    process_gp.py:132-144). Images: HWC uint8 arrays, one per row.
-    answer_ids: training targets; when given, the glimpse slots are spliced
-    in front of the answer and labels are emitted.
+    prompt_ids: token id lists with one `cfg.image_token_id` marker per
+    image (un-expanded, reference processor semantics process_gp.py:132-144).
+    images[b]: one HWC uint8 array, or a LIST of arrays for multi-image rows
+    (markers are expanded in order). normed_bboxes[b]: bbox list (single
+    image) or list of per-image bbox lists. answer_ids: training targets;
+    when given, the glimpse slots are spliced in front of the answer and
+    labels are emitted.
     """
     from glimpseprune_tpu.preprocessing.image import (
         DEFAULT_MAX_PIXELS,
@@ -83,22 +87,27 @@ def prepare_inputs(
     v = cfg.vision
     mu = v.spatial_merge_unit
     B = len(prompt_ids)
-    assert len(images) == B, "one image per row in this layout"
+    assert len(images) == B, "images: one entry (array or list) per row"
+    images_per_row = [
+        im if isinstance(im, (list, tuple)) else [im] for im in images
+    ]
+    n_imgs_row = [len(ims) for ims in images_per_row]
 
-    # ---- vision: patchify all images, pack
+    # ---- vision: patchify all images (row-major flat order), pack
     patch_list, grids = [], []
-    for img in images:
-        p, g = preprocess_image(
-            np.asarray(img),
-            patch_size=v.patch_size,
-            temporal_patch_size=v.temporal_patch_size,
-            merge_size=v.spatial_merge_size,
-            min_pixels=min_pixels or DEFAULT_MIN_PIXELS,
-            max_pixels=max_pixels or DEFAULT_MAX_PIXELS,
-        )
-        patch_list.append(p)
-        grids.append(g)
-    grids = np.array(grids)  # [B, 3]
+    for ims in images_per_row:
+        for img in ims:
+            p, g = preprocess_image(
+                np.asarray(img),
+                patch_size=v.patch_size,
+                temporal_patch_size=v.temporal_patch_size,
+                merge_size=v.spatial_merge_size,
+                min_pixels=min_pixels or DEFAULT_MIN_PIXELS,
+                max_pixels=max_pixels or DEFAULT_MAX_PIXELS,
+            )
+            patch_list.append(p)
+            grids.append(g)
+    grids = np.array(grids)  # [n_total_images, 3]
     patches_nat = np.concatenate(patch_list, axis=0)
     n_patches = patches_nat.shape[0]
     geo0 = build_vision_geometry(grids, v.window_size, v.spatial_merge_size, v.patch_size)
@@ -111,12 +120,18 @@ def prepare_inputs(
     patches_win = np.zeros((padded_p, patches_nat.shape[1]), dtype=patches_nat.dtype)
     patches_win[geo.patch_valid] = patches_nat[geo.patch_src[geo.patch_valid]]
 
-    n_img = (grids[:, 0] * grids[:, 1] * grids[:, 2]) // mu  # merged tokens/row
+    n_per_image = (grids[:, 0] * grids[:, 1] * grids[:, 2]) // mu
+    img_offsets = np.concatenate([[0], np.cumsum(n_imgs_row)[:-1]])  # first image idx/row
+    n_img = np.array([
+        int(n_per_image[img_offsets[b] : img_offsets[b] + n_imgs_row[b]].sum())
+        for b in range(B)
+    ])  # merged tokens per row
     N = int(n_img.max())
 
     # packed_idx[b, j] = merged-slot row of natural token j of row b
-    moffs = np.concatenate([[0], np.cumsum(n_img)[:-1]])
+    moffs_img = np.concatenate([[0], np.cumsum(n_per_image)[:-1]])  # per image
     packed_idx = np.zeros((B, N), dtype=np.int32)
+    img_group = np.full((B, N), -1, dtype=np.int32)
 
     # ---- text: expand image markers, append/splice le slots, left-pad
     gp = cfg.gp
@@ -124,9 +139,18 @@ def prepare_inputs(
     rows, label_rows, le_starts = [], [], []
     for b, ids in enumerate(prompt_ids):
         ids = list(ids)
-        assert ids.count(cfg.image_token_id) == 1, "exactly one image marker per row"
-        at = ids.index(cfg.image_token_id)
-        expanded = ids[:at] + [cfg.image_token_id] * int(n_img[b]) + ids[at + 1 :]
+        assert ids.count(cfg.image_token_id) == n_imgs_row[b], (
+            f"row {b}: {ids.count(cfg.image_token_id)} image markers for "
+            f"{n_imgs_row[b]} images"
+        )
+        expanded = []
+        img_i = img_offsets[b]
+        for t in ids:
+            if t == cfg.image_token_id:
+                expanded.extend([cfg.image_token_id] * int(n_per_image[img_i]))
+                img_i += 1
+            else:
+                expanded.append(t)
         if answer_ids is not None:
             ans = list(answer_ids[b])
             row = expanded + [cfg.eos_token_id] * le_len + ans
@@ -156,15 +180,26 @@ def prepare_inputs(
         img_slots[b, : len(pos)] = pos
         img_valid[b, : len(pos)] = True
 
-    # per-row window permutation for packed_idx + fuser geometry
-    grid_hw = [(int(g[1]) // v.spatial_merge_size, int(g[2]) // v.spatial_merge_size) for g in grids]
+    # per-row (possibly multi-image) fuser geometry + packed/group maps
+    grid_hw_rows = []
+    for b in range(B):
+        row_grids = []
+        off = 0
+        for i in range(n_imgs_row[b]):
+            gi = grids[img_offsets[b] + i]
+            hw = (int(gi[1]) // v.spatial_merge_size, int(gi[2]) // v.spatial_merge_size)
+            row_grids.append(hw)
+            ni = hw[0] * hw[1]
+            mo = moffs_img[img_offsets[b] + i]
+            packed_idx[b, off : off + ni] = geo.slot_of_merged[mo : mo + ni]
+            img_group[b, off : off + ni] = i
+            off += ni
+        grid_hw_rows.append(row_grids)
+    grid_hw = [r[0] for r in grid_hw_rows]  # first image per row (anchors/ref)
     fuser = build_fuser_geometry(
-        grid_hw, N, v.window_size, v.spatial_merge_size, v.patch_size,
+        grid_hw_rows, N, v.window_size, v.spatial_merge_size, v.patch_size,
         gp.attn_fuse_global,
     )
-    for b in range(B):
-        nb = int(n_img[b])
-        packed_idx[b, :nb] = geo.slot_of_merged[moffs[b] : moffs[b] + nb]
 
     # ---- position ids (le slots get sequential text positions, matching
     # reference _append_le position arithmetic model_gp.py:1178-1185)
@@ -176,16 +211,19 @@ def prepare_inputs(
         vision_start_token_id=cfg.vision_start_token_id,
     )
 
-    # ---- budgets -> static out_len
+    # ---- budgets -> static out_len (per-image caps summed for multi-image)
     budgets = np.zeros((B,), dtype=np.int64)
     for b in range(B):
-        nb = int(n_img[b])
-        if gp.max_remain_ratio is not None:
-            k = int(gp.max_remain_ratio * nb)
-            k = max(k, gp.min_remain_num or 0) + len(gp.anchor_positions)
-            budgets[b] = min(nb, k)
-        else:
-            budgets[b] = nb
+        tot = 0
+        for (h, w) in grid_hw_rows[b]:
+            nb = h * w
+            if gp.max_remain_ratio is not None:
+                k = int(gp.max_remain_ratio * nb)
+                k = max(k, gp.min_remain_num or 0) + len(gp.anchor_positions)
+                tot += min(nb, k)
+            else:
+                tot += nb
+        budgets[b] = tot
     n_text = valid.sum(1) - n_img - le_len
     out_len = _round_up(int((n_text + budgets).max()), seq_multiple)
 
@@ -195,11 +233,21 @@ def prepare_inputs(
         for b, bxs in enumerate(normed_bboxes):
             if bxs is None:
                 continue
-            h, w = grid_hw[b]
-            ref_masks[b, : h * w] = ref_token_mask_from_bboxes(bxs, (h, w)).reshape(-1)
+            per_image = bxs if (bxs and isinstance(bxs[0][0], (list, tuple))) else [bxs]
+            off = 0
+            for i, (h, w) in enumerate(grid_hw_rows[b]):
+                if i < len(per_image) and per_image[i]:
+                    ref_masks[b, off : off + h * w] = ref_token_mask_from_bboxes(
+                        per_image[i], (h, w)
+                    ).reshape(-1)
+                off += h * w
 
     anchor = None
     if gp.anchor_positions:
+        assert max(n_imgs_row) == 1, (
+            "anchor_positions unsupported with multi-image rows "
+            "(reference model_gp.py:1524-1525 raises the same)"
+        )
         anchor = np.zeros((B, N), dtype=bool)
         for b in range(B):
             h, w = grid_hw[b]
@@ -218,7 +266,9 @@ def prepare_inputs(
         packed_idx=packed_idx,
         img_slots=img_slots,
         img_valid=img_valid,
+        img_group=img_group,
         fuser=fuser,
+        grid_hw_rows=grid_hw_rows,
         le_start=le_start_arr if gp.has_le else None,
         grids=grids,
         out_len=out_len,
@@ -288,6 +338,7 @@ class GlimpsePruneRunner:
             return m.glimpse_prefill(
                 out_len,
                 anchor_mask=inputs.get("anchor_mask"),
+                img_group=inputs.get("img_group"),
                 input_ids=inputs["input_ids"],
                 valid=inputs["valid"],
                 position_ids=inputs["position_ids"],
@@ -456,14 +507,16 @@ class GlimpsePruneRunner:
             "packed_idx": jnp.asarray(prep.packed_idx),
             "img_slots": jnp.asarray(prep.img_slots),
             "img_valid": jnp.asarray(prep.img_valid),
+            "img_group": jnp.asarray(prep.img_group),
             "fuser_window_index": jnp.asarray(prep.fuser.window_index),
             "fuser_reverse_index": jnp.asarray(prep.fuser.reverse_index),
             "fuser_segment_ids": jnp.asarray(prep.fuser.segment_ids),
             "fuser_pos_ids": jnp.asarray(prep.fuser.pos_ids),
             "grid_hw": jnp.asarray(
-                np.stack([prep.grids[:, 1], prep.grids[:, 2]], axis=-1)
-            )
-            // 2,
+                np.array([r[0] for r in prep.grid_hw_rows], dtype=np.int32)
+                if prep.grid_hw_rows
+                else np.stack([prep.grids[:, 1], prep.grids[:, 2]], axis=-1) // 2
+            ),
         }
         if prep.le_start is not None:
             d["le_start"] = jnp.asarray(prep.le_start)

@@ -46,8 +46,26 @@ def compaction_indices(keep: jnp.ndarray, out_len: int) -> CompactedState:
     return CompactedState(src=src.astype(jnp.int32), valid=valid, n_kept=n)
 
 
+def _onehot_plan(plan: CompactedState, src_len: int, dtype) -> jnp.ndarray:
+    """[B, R, L] one-hot selection matrix (zero rows at padding slots).
+
+    Large floating-point gathers are expressed as one-hot matmuls: XLA lowers
+    scattered `gather` ops poorly on TPU (~25ms for the 24-layer KV
+    compaction at 3B shapes) while the equivalent einsum rides the MXU in
+    well under a millisecond.
+    """
+    oh = plan.src[..., None] == jnp.arange(src_len)[None, None, :]
+    oh = oh & plan.valid[..., None]
+    return oh.astype(dtype)
+
+
 def gather_tokens(x: jnp.ndarray, plan: CompactedState, fill=0) -> jnp.ndarray:
     """x [B, L, ...] -> [B, R, ...] using the plan; padding slots get `fill`."""
+    if x.ndim >= 3 and jnp.issubdtype(x.dtype, jnp.floating) and fill == 0:
+        oh = _onehot_plan(plan, x.shape[1], x.dtype)
+        flat = x.reshape(x.shape[0], x.shape[1], -1)
+        out = jnp.einsum("brl,blf->brf", oh, flat)
+        return out.reshape(x.shape[:1] + (plan.src.shape[1],) + x.shape[2:])
     src = plan.src
     extra = x.ndim - 2
     idx = src.reshape(src.shape + (1,) * extra)
@@ -64,12 +82,13 @@ def gather_positions(position_ids: jnp.ndarray, plan: CompactedState) -> jnp.nda
 
 
 def gather_kv(kv: jnp.ndarray, plan: CompactedState) -> jnp.ndarray:
-    """kv [num_layers, B, L, heads, dim] -> [num_layers, B, R, heads, dim]."""
-    src = plan.src[None, :, :, None, None]
-    src = jnp.broadcast_to(src, kv.shape[:2] + (plan.src.shape[1],) + kv.shape[3:])
-    out = jnp.take_along_axis(kv, src, axis=2)
-    vmask = plan.valid[None, :, :, None, None]
-    return jnp.where(vmask, out, 0)
+    """kv [num_layers, B, L, heads, dim] -> [num_layers, B, R, heads, dim]
+    as a single one-hot einsum (see _onehot_plan)."""
+    L_layers, B, S = kv.shape[:3]
+    oh = _onehot_plan(plan, S, kv.dtype)
+    flat = kv.reshape(L_layers, B, S, -1)
+    out = jnp.einsum("brs,lbsf->lbrf", oh, flat)
+    return out.reshape((L_layers, B, plan.src.shape[1]) + kv.shape[3:])
 
 
 def compact_sequence(keep: jnp.ndarray, out_len: int) -> CompactedState:

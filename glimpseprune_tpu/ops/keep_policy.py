@@ -89,6 +89,77 @@ def select_keep_mask(
     )
 
 
+def _group_rank_desc(scores: jnp.ndarray, groups: jnp.ndarray,
+                     valid: jnp.ndarray) -> jnp.ndarray:
+    """Per-row rank (0 = best) of each element within its group by
+    descending score. groups: [B, N] int, <0/invalid -> own trailing group."""
+    B, N = scores.shape
+    g = jnp.where(valid, groups, jnp.int32(N))
+    r_global = _descending_rank(scores, valid)
+    keys = g.astype(jnp.int64) * (N + 1) + r_global.astype(jnp.int64)
+    order = jnp.argsort(keys, axis=-1)
+    sorted_g = jnp.take_along_axis(g, order, axis=-1)
+    pos = jnp.broadcast_to(jnp.arange(N)[None], (B, N))
+    is_start = jnp.concatenate(
+        [jnp.ones((B, 1), dtype=bool), sorted_g[:, 1:] != sorted_g[:, :-1]], axis=1
+    )
+    group_start = jax.lax.cummax(jnp.where(is_start, pos, -1), axis=1)
+    rank_sorted = pos - group_start
+    inv = jnp.argsort(order, axis=-1)
+    return jnp.take_along_axis(rank_sorted, inv, axis=-1)
+
+
+def keep_scores_with_policy_grouped(
+    probs: jnp.ndarray,      # [B, N]
+    valid: jnp.ndarray,      # [B, N]
+    group_ids: jnp.ndarray,  # [B, N] image index per slot (multi-image rows)
+    threshold: float,
+    max_remain_ratio: Optional[float],
+    min_remain_num: Optional[int],
+    anchor_mask: Optional[jnp.ndarray] = None,
+    max_groups: int = 8,
+) -> jnp.ndarray:
+    """Per-image keep policy for multi-image rows: the reference applies
+    threshold/ratio-cap/min-floor to each image's logits independently
+    (model_gp.py:1495-1549 iterates per-image lists). Same semantics here
+    with group-wise ranks/counts in static shapes; max_groups bounds the
+    images per row (static)."""
+    probs = probs.astype(jnp.float32)
+    B, N = probs.shape
+    keep = (probs > threshold) & valid
+    rank = _group_rank_desc(probs, group_ids, valid)
+
+    one_hot = (
+        (group_ids[..., None] == jnp.arange(max_groups)[None, None, :])
+        & valid[..., None]
+    )  # [B, N, G]
+
+    def group_count(mask):
+        """Per-element count of True within its group -> [B, N]."""
+        totals = (one_hot & mask[..., None]).sum(axis=1)  # [B, G]
+        g = jnp.clip(group_ids, 0, max_groups - 1)
+        return jnp.take_along_axis(totals, g, axis=-1)
+
+    n_valid_g = group_count(valid)
+
+    if max_remain_ratio is not None:
+        cnt_g = group_count(keep)
+        cap_g = jnp.floor(max_remain_ratio * n_valid_g).astype(jnp.int32)
+        over = cnt_g > cap_g
+        top_cap = (rank < cap_g) & valid
+        keep = jnp.where(over, top_cap, keep)
+
+    if min_remain_num is not None:
+        cnt_g = group_count(keep)
+        under = cnt_g < min_remain_num
+        top_min = (rank < min_remain_num) & valid
+        keep = jnp.where(under, keep | top_min, keep)
+
+    if anchor_mask is not None:
+        keep = keep | (anchor_mask & valid)
+    return keep
+
+
 def anchor_mask_from_grid(
     grid_hw: jnp.ndarray,  # [B, 2] merged (h, w) per image
     n_tokens: int,
