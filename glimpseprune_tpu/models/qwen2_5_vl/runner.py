@@ -529,6 +529,65 @@ class GlimpsePruneRunner:
             d["anchor_mask"] = jnp.asarray(prep.anchor_mask)
         return d
 
+    def glimpse_delayed(self, prep: PreparedInputs, use_ref_masks: bool = False,
+                        training: bool = False):
+        """Two-phase API, phase 1 (reference delay_selection=True,
+        model_gp.py:1413-1444): returns (mask_logits [n_out, B, N],
+        GlimpseState). Pass (a possibly overridden) logits tensor to
+        apply_selection to finish."""
+        inputs = self._device_inputs(prep, use_ref_masks)
+
+        def run_encode(params, inputs):
+            merged, taps = self.model.apply(
+                params, inputs["patches"], inputs["vis_pos_ids"],
+                inputs["full_seg"], inputs["vis_valid"],
+                method=self.model.vision_encode,
+            )
+            taps = (jnp.stack(taps, axis=0) if taps
+                    else jnp.zeros((0,) + merged.shape, dtype=merged.dtype))
+
+            def enc(m):
+                return m.glimpse_encode(
+                    input_ids=inputs["input_ids"], valid=inputs["valid"],
+                    position_ids=inputs["position_ids"], image_embeds=merged,
+                    taps=taps, packed_idx=inputs["packed_idx"],
+                    img_slots=inputs["img_slots"], img_valid=inputs["img_valid"],
+                    fuser_window_index=inputs["fuser_window_index"],
+                    fuser_reverse_index=inputs["fuser_reverse_index"],
+                    fuser_segment_ids=inputs["fuser_segment_ids"],
+                    fuser_pos_ids=inputs["fuser_pos_ids"],
+                    le_start=inputs.get("le_start"),
+                    labels=inputs.get("labels"),
+                    ref_token_masks=inputs.get("ref_token_masks"),
+                    use_ref_masks=use_ref_masks,
+                    training=training,
+                    img_group=inputs.get("img_group"),
+                )
+
+            return self.model.apply(params, method=enc)
+
+        if not hasattr(self, "_encode_jit"):
+            self._encode_jit = jax.jit(run_encode)
+        mask_logits, state, le_loss = self._encode_jit({"params": self.params}, inputs)
+        return mask_logits, state
+
+    def apply_selection(self, state, mask_logits, out_len: int,
+                        anchor_mask=None) -> GlimpseOutputs:
+        """Two-phase API, phase 2 (reference `_do_delayed_selection`,
+        model_gp.py:1458-1492): keep policy + compaction + resume layers with
+        (possibly externally overridden) mask logits."""
+
+        def run_reduce(params, state, mask_logits, anchor_mask):
+            def red(m):
+                return m.reduce_and_resume(state, mask_logits, out_len, anchor_mask)
+
+            return self.model.apply(params, method=red)
+
+        if not hasattr(self, "_reduce_jit"):
+            self._reduce_jit = jax.jit(run_reduce)
+        return self._reduce_jit({"params": self.params}, state, mask_logits,
+                                anchor_mask)
+
     @time_logger
     def glimpse(self, prep: PreparedInputs, use_ref_masks: bool = False) -> GlimpseOutputs:
         """Mask-only fast path (reference `do_glimpse`, SURVEY.md §3.2)."""

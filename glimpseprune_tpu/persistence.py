@@ -22,6 +22,24 @@ from glimpseprune_tpu.config import ModelConfig
 from glimpseprune_tpu.training.train_step import NEW_MODULE_KEYS, split_params
 
 NEW_MODULES_FILE = "new_modules_gp.msgpack"
+LORA_FILE = "lora_adapter.msgpack"
+
+
+def save_lora(lora, directory: str):
+    """GlimpsePrune+ adapter checkpoint (reference _save adds the PEFT
+    adapter when RL, train_qwen_gp.py:1556-1598)."""
+    from flax import serialization
+
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, LORA_FILE), "wb") as f:
+        f.write(serialization.to_bytes(lora))
+
+
+def load_lora(template, directory: str):
+    from flax import serialization
+
+    with open(os.path.join(directory, LORA_FILE), "rb") as f:
+        return serialization.from_bytes(template, f.read())
 
 
 def save_new_modules(params: Dict[str, Any], cfg: ModelConfig, directory: str):
