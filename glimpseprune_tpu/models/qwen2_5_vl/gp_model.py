@@ -538,6 +538,51 @@ class Qwen2_5_VL_GP(nn.Module):
         x = self.text.final_norm(x)
         return self.text.logits(x[:, -1:]), kv_k, kv_v
 
+    def decode_chunk(self, first_token, last_pos, k_cache, v_cache, kv_valid,
+                     write_start, rng, n_steps: int, eos_token_id: int,
+                     temperature: float = 0.0):
+        """Decode n_steps tokens fully on device (one lax.scan).
+
+        Amortizes per-step dispatch (the reference pays a python/host hop per
+        HF generate step; over the axon tunnel that is ~28ms each). Greedy
+        when temperature == 0 else categorical sampling. Returns
+        (tokens [B, n_steps], done [B], k_cache, v_cache, kv_valid).
+        """
+        c = self.cfg
+        B = first_token.shape[0]
+
+        def step(carry, i):
+            tok, done, kc, vc, kvv, key = carry
+            widx = write_start + i
+            kvv = kvv.at[:, widx].set(True)
+            pos = (last_pos + 1 + i)[:, :, None]  # [3, B, 1]
+            cos, sin = mrope_cos_sin(
+                pos, c.text.head_dim, c.text.rope_theta, c.text.mrope_section
+            )
+            logits, kc, vc = self.text.decode_step(
+                tok[:, None], cos.astype(self.dtype), sin.astype(self.dtype),
+                kc, vc, kvv, widx,
+            )
+            key, sub = jax.random.split(key)
+            if temperature and temperature > 0:
+                nxt = jax.random.categorical(
+                    sub, logits[:, -1].astype(jnp.float32) / temperature, axis=-1
+                ).astype(jnp.int32)
+            else:
+                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            nxt = jnp.where(done, eos_token_id, nxt)
+            done = done | (nxt == eos_token_id)
+            return (nxt, done, kc, vc, kvv, key), tok
+
+        done0 = first_token == eos_token_id
+        carry0 = (first_token, done0, k_cache, v_cache, kv_valid, rng)
+        (tok, done, kc, vc, kvv, _), toks = jax.lax.scan(
+            step, carry0, jnp.arange(n_steps)
+        )
+        # toks[i] is the token EMITTED at step i (the input token); the final
+        # carried token is the next candidate, returned for chaining
+        return toks.T, tok, done, kc, vc, kvv
+
     def decode_step(self, input_ids, position_ids, k_cache, v_cache, kv_valid, write_idx):
         """input_ids [B, S_new], position_ids [3, B, S_new]."""
         c = self.cfg

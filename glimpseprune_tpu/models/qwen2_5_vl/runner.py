@@ -663,14 +663,19 @@ class GlimpsePruneRunner:
 
     def _decode_loop(self, logits, r_valid, r_pos, kv_k, kv_v, max_new_tokens,
                      eos, check_eos_every=8, temperature: float = 0.0,
-                     rng=None):
+                     rng=None, chunk_size: int = 32):
         """Decode over a compacted KV prefix; shared by every method.
-        temperature=0 -> greedy; >0 -> categorical sampling (GRPO completion
-        sampling, reference train_qwen_gp.py:1221-1247)."""
+
+        Runs `chunk_size` steps per jitted lax.scan call (on-device argmax/
+        sampling + eos tracking) so per-token host dispatch is amortized; eos
+        early exit is checked between chunks. temperature=0 -> greedy; >0 ->
+        categorical sampling (GRPO, reference train_qwen_gp.py:1221-1247)."""
         cfg = self.cfg
         B = logits.shape[0]
         R = int(r_valid.shape[1])
-        T = R + max_new_tokens
+        chunk = max(1, min(chunk_size, max_new_tokens))
+        n_chunks = (max_new_tokens + chunk - 1) // chunk
+        T = R + n_chunks * chunk
         L = cfg.text.num_hidden_layers
         k_cache = jnp.zeros(
             (L, B, T, cfg.text.num_key_value_heads, cfg.text.head_dim), dtype=kv_k.dtype
@@ -678,47 +683,56 @@ class GlimpsePruneRunner:
         v_cache = jnp.zeros_like(k_cache)
         k_cache = k_cache.at[:, :, :R].set(kv_k)
         v_cache = v_cache.at[:, :, :R].set(kv_v)
+        kv_valid = jnp.concatenate(
+            [r_valid, jnp.zeros((B, n_chunks * chunk), dtype=bool)], axis=1
+        )
 
         last_pos = r_pos[:, :, -1]  # [3, B]
-
-        def pick(lg, key):
-            if temperature and temperature > 0:
-                return jax.random.categorical(
-                    key, lg.astype(jnp.float32) / temperature, axis=-1
-                ).astype(jnp.int32)
-            return jnp.argmax(lg, axis=-1).astype(jnp.int32)
-
         if rng is None:
             rng = jax.random.PRNGKey(0)
         rng, sub = jax.random.split(rng)
-        next_token = pick(logits[:, -1], sub)  # [B]
+        if temperature and temperature > 0:
+            next_token = jax.random.categorical(
+                sub, logits[:, -1].astype(jnp.float32) / temperature, axis=-1
+            ).astype(jnp.int32)
+        else:
+            next_token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
 
-        seqs = np.zeros((B, max_new_tokens), dtype=np.int64)
-        finished = np.zeros((B,), dtype=bool)
-        n_gen = np.zeros((B,), dtype=np.int64)
-        kv_valid = jnp.concatenate(
-            [r_valid, jnp.zeros((B, max_new_tokens), dtype=bool)], axis=1
-        )
+        key = (chunk, float(temperature), int(eos))
+        if getattr(self, "_decode_chunk_key", None) != key:
+            self._decode_chunk_key = key
 
-        for step in range(max_new_tokens):
-            tok_host = np.asarray(next_token)
-            tok_host = np.where(finished, eos, tok_host)
-            seqs[:, step] = tok_host
-            n_gen += ~finished
-            finished |= tok_host == eos
-            if step % check_eos_every == 0 and finished.all():
-                break
-            if step == max_new_tokens - 1:
-                break
-            pos_step = (last_pos + 1 + step)[:, :, None]  # [3, B, 1]
-            kv_valid = kv_valid.at[:, R + step].set(True)
-            step_logits, k_cache, v_cache = self._decode(
-                {"params": self.params},
-                jnp.asarray(tok_host[:, None], dtype=jnp.int32),
-                pos_step, k_cache, v_cache, kv_valid, jnp.int32(R + step),
-            )
+            def chunk_fn(params, tok, lp, kc, vc, kvv, ws, r):
+                def run(m):
+                    return m.decode_chunk(
+                        tok, lp, kc, vc, kvv, ws, r,
+                        n_steps=chunk, eos_token_id=eos, temperature=temperature,
+                    )
+
+                return self.model.apply(params, method=run)
+
+            self._decode_chunk_jit = jax.jit(chunk_fn, donate_argnums=(3, 4, 5))
+
+        seqs = np.zeros((B, n_chunks * chunk), dtype=np.int64)
+        for ci in range(n_chunks):
             rng, sub = jax.random.split(rng)
-            next_token = pick(step_logits[:, -1], sub)
+            toks, next_token, done, k_cache, v_cache, kv_valid = self._decode_chunk_jit(
+                {"params": self.params}, next_token,
+                last_pos + ci * chunk, k_cache, v_cache, kv_valid,
+                jnp.int32(R + ci * chunk), sub,
+            )
+            seqs[:, ci * chunk : (ci + 1) * chunk] = np.asarray(toks)
+            if bool(np.asarray(done).all()):
+                break
+
+        seqs = seqs[:, :max_new_tokens]
+        # replace everything after the first eos with eos; count generated
+        n_gen = np.zeros((B,), dtype=np.int64)
+        for b in range(B):
+            hits = np.nonzero(seqs[b] == eos)[0]
+            end = int(hits[0]) + 1 if len(hits) else max_new_tokens
+            n_gen[b] = end if len(hits) else max_new_tokens
+            seqs[b, end:] = eos
         return seqs, n_gen
 
     # ------------------------------------------------------------------ #
