@@ -17,21 +17,22 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 # "auto": Pallas flash kernel on TPU for sequences >= _FLASH_MIN_SEQ,
-# einsum elsewhere. "xla" / "flash" force one path (tests, debugging).
+# einsum elsewhere. "xla" / "flash" force one path; "flash_interpret" runs
+# the kernel in pallas interpret mode (CPU equivalence tests).
 ATTENTION_IMPL = "auto"
 _FLASH_MIN_SEQ = 512
 
 
 def set_attention_impl(impl: str):
     global ATTENTION_IMPL
-    assert impl in ("auto", "xla", "flash"), impl
+    assert impl in ("auto", "xla", "flash", "flash_interpret"), impl
     ATTENTION_IMPL = impl
 
 
 def _use_flash(seq_len: int) -> bool:
     if ATTENTION_IMPL == "xla":
         return False
-    if ATTENTION_IMPL == "flash":
+    if ATTENTION_IMPL in ("flash", "flash_interpret"):
         return True
     return jax.default_backend() == "tpu" and seq_len >= _FLASH_MIN_SEQ
 
@@ -73,6 +74,7 @@ def segment_attention(
         out = flash_attention(
             q.transpose(1, 0, 2)[None], k.transpose(1, 0, 2)[None],
             v.transpose(1, 0, 2)[None], seg, seg, causal=False,
+            interpret=ATTENTION_IMPL == "flash_interpret",
         )
         return out[0].transpose(1, 0, 2)
     allowed = (segment_ids[:, None] == segment_ids[None, :]) & (segment_ids >= 0)[:, None]
@@ -125,6 +127,7 @@ def causal_segment_attention(
         out = flash_attention(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3), seg, seg, causal=True,
+            interpret=ATTENTION_IMPL == "flash_interpret",
         )
         return out.transpose(0, 2, 1, 3)
     causal = jnp.tril(jnp.ones((s, s), dtype=bool))

@@ -64,3 +64,41 @@ def test_flash_padding_rows_zero():
     seg = jnp.full((1, 128), -1, dtype=jnp.int32)  # everything padding
     out = flash_attention(q, k, v, seg, seg, interpret=True)
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def test_pipeline_flash_vs_xla_equivalence():
+    """Full glimpse pipeline with the flash kernel (interpret) vs einsum:
+    validates the in-context dispatch (masks, GQA, padding semantics)."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_training import build_batch, init_params
+
+    from glimpseprune_tpu.config import tiny_test_config
+    from glimpseprune_tpu.models.qwen2_5_vl.runner import GlimpsePruneRunner
+    import glimpseprune_tpu.ops.attention as A
+
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(0)
+    prep, _ = build_batch(cfg, rng, with_labels=False)
+    _, params = init_params(cfg, prep)
+
+    runner = GlimpsePruneRunner(cfg, params)
+    out_xla = runner.glimpse(prep)
+    try:
+        A.set_attention_impl("flash_interpret")
+        runner2 = GlimpsePruneRunner(cfg, params)
+        out_flash = runner2.glimpse(prep)
+    finally:
+        A.set_attention_impl("auto")
+
+    np.testing.assert_allclose(
+        np.asarray(out_flash.mask_logits), np.asarray(out_xla.mask_logits),
+        rtol=2e-4, atol=2e-4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_flash.keep_img), np.asarray(out_xla.keep_img)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_flash.logits), np.asarray(out_xla.logits), rtol=5e-3, atol=5e-3
+    )
