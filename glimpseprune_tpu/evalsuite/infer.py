@@ -36,6 +36,10 @@ class InferenceConfig:
     brief: bool = True
     save_masks: bool = False
     max_pixels: Optional[int] = None
+    # run a baseline compressor instead of GP (visionzip / divprune /
+    # cdpruner / pdrop / vscan); task must be "generate"
+    compressor: Optional[str] = None
+    compressor_kwargs: Dict[str, Any] = field(default_factory=dict)
     extra: Dict[str, Any] = field(default_factory=dict)
 
 
@@ -122,6 +126,18 @@ def run_inference(
                 keep = np.asarray(out.keep_img)
                 responses = [None] * len(batch)
                 num_gen = [0] * len(batch)
+            elif cfg.compressor:
+                res = runner.generate_compressed(
+                    prep, cfg.compressor,
+                    max_new_tokens=cfg.max_new_tokens,
+                    **cfg.compressor_kwargs,
+                )
+                keep = res.keep_img
+                responses = []
+                for b in range(len(batch)):
+                    ids = res.sequences[b, : res.num_generated[b]]
+                    responses.append(detokenize([int(x) for x in ids]))
+                num_gen = [int(x) for x in res.num_generated]
             else:
                 res = runner.generate(
                     prep,

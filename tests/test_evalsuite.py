@@ -185,3 +185,20 @@ def test_shortform_metrics():
     assert score_shortform("mmbench", ["Answer: C"], ["C"]) == 1.0
     with pytest.raises(KeyError):
         score_shortform("nope", [], [])
+
+
+def test_run_inference_with_compressor(tmp_path, runner):
+    json_path, img_dir = make_benchmark(tmp_path)
+    samples = load_benchmark(json_path, img_dir)
+    cfg = InferenceConfig(
+        task="generate", max_new_tokens=4, batch_size=2,
+        compressor="divprune", compressor_kwargs={"visual_token_num": 2},
+    )
+    out = run_inference(
+        runner, samples, str(tmp_path / "outc"), "toy", cfg,
+        tokenize=fake_tokenize, detokenize=fake_detokenize,
+    )
+    rows = [json.loads(l) for l in open(out)]
+    assert all(r["response"] is not None for r in rows)
+    # 64x96 toy images -> 6 merged tokens; divprune keeps 2
+    assert all(abs(r["mask_ratio"] - 2 / 6) < 1e-6 for r in rows)

@@ -92,6 +92,7 @@ def main():
         do_selection=not args.no_selection,
         brief=not args.no_brief,
         save_masks=args.save_masks,
+        compressor=args.compressor,
     )
 
     def tokenize(t):
