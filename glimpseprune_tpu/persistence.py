@@ -146,3 +146,26 @@ def load_torch_new_modules_file(path: str, cfg: ModelConfig) -> Dict[str, Any]:
 
     state = torch.load(path, weights_only=True, map_location="cpu")
     return import_torch_new_modules(state, cfg)
+
+
+# ------------------------------------------------------------------ #
+# full-model checkpoints (orbax): avoids re-converting the HF torch
+# checkpoint on every process start for large models
+
+
+def save_full_params(params: Dict[str, Any], directory: str):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(os.path.join(directory, "full_params")), params)
+    ckptr.wait_until_finished()
+
+
+def load_full_params(directory: str, template: Optional[Dict[str, Any]] = None):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    path = os.path.abspath(os.path.join(directory, "full_params"))
+    if template is not None:
+        return ckptr.restore(path, target=template)
+    return ckptr.restore(path)

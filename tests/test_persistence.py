@@ -98,3 +98,19 @@ def test_torch_new_modules_import_matches_reference_layout():
     runner = GlimpsePruneRunner(cfg, merged)
     res = runner.generate(prep, max_new_tokens=3)
     assert res.sequences.shape[1] == 3
+
+
+def test_full_params_roundtrip(tmp_path):
+    from glimpseprune_tpu.persistence import load_full_params, save_full_params
+
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(0)
+    prep, _ = build_batch(cfg, rng, with_labels=False)
+    _, params = init_params(cfg, prep)
+    save_full_params(params, str(tmp_path / "full"))
+    restored = load_full_params(str(tmp_path / "full"))
+    a = jax.tree_util.tree_leaves(params)
+    b = jax.tree_util.tree_leaves(restored)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
