@@ -219,10 +219,6 @@ class TextDecoder(nn.Module):
         if q_index is None:
             q_index = jnp.full((b,), s - 1, dtype=jnp.int32)
 
-        sliced = jax.tree_util.tree_map(
-            lambda a: jax.lax.slice_in_dim(a, layer_start, layer_end + 1, axis=0),
-            self.layers,
-        )
         if le_vecs is not None:
             le_sl = jax.lax.slice_in_dim(le_vecs, layer_start, layer_end + 1, axis=0)
             if layer_start == 0:
@@ -233,16 +229,25 @@ class TextDecoder(nn.Module):
             le_inside = jnp.zeros((b, s), dtype=bool)
 
         dtype = self.dtype
+        layers = self.layers
 
+        # scan over layer INDICES and dynamic-index the stacked params in the
+        # body: slicing the stack up front would copy gigabytes of weights
+        # per phase (two partial slices at 3B cost ~45ms of HBM traffic)
         def body(carry, scanned):
             xc = carry
-            pl, le_vec = scanned
+            lidx, le_vec = scanned
+            pl = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, lidx, 0, keepdims=False),
+                layers,
+            )
             le_rows = le_vec[le_offset]  # [B, S, H]
             xc = xc + jnp.where(le_inside[..., None], le_rows.astype(xc.dtype), 0)
             xc, k, v, row = _layer_prefill(cfg, pl, xc, cos, sin, valid, q_index, dtype)
             return xc, (k, v, row)
 
-        x, (ks, vs, rows) = jax.lax.scan(body, x, (sliced, le_sl))
+        layer_idx = jnp.arange(layer_start, layer_end + 1)
+        x, (ks, vs, rows) = jax.lax.scan(body, x, (layer_idx, le_sl))
 
         harvests: Dict[int, jnp.ndarray] = {}
         for lid in harvest_layers:

@@ -169,19 +169,23 @@ class VisionTransformer(nn.Module):
         fullatt = set(c.fullatt_block_indexes)
         first_fullatt = min(fullatt) if fullatt else 0
 
+        blocks = self.blocks
+
         def scan_run(x, start, end):
-            """Scan windowed blocks [start, end)."""
+            """Scan windowed blocks [start, end) — dynamic-indexed from the
+            stack (an upfront slice would copy the run's weights)."""
             if start >= end:
                 return x
-            sliced = jax.tree_util.tree_map(
-                lambda a: jax.lax.slice_in_dim(a, start, end, axis=0), self.blocks
-            )
 
-            def body(carry, pb):
+            def body(carry, bidx):
+                pb = jax.tree_util.tree_map(
+                    lambda a: jax.lax.dynamic_index_in_dim(a, bidx, 0, keepdims=False),
+                    blocks,
+                )
                 return _block_fwd(c, pb, carry, cos, sin, full_seg, valid, wp,
                                   self.dtype), None
 
-            x, _ = jax.lax.scan(body, x, sliced)
+            x, _ = jax.lax.scan(body, x, jnp.arange(start, end))
             return x
 
         taps: List[Optional[jnp.ndarray]] = [None] * len(self.tap_layers)
