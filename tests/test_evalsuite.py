@@ -202,3 +202,17 @@ def test_run_inference_with_compressor(tmp_path, runner):
     assert all(r["response"] is not None for r in rows)
     # 64x96 toy images -> 6 merged tokens; divprune keeps 2
     assert all(abs(r["mask_ratio"] - 2 / 6) < 1e-6 for r in rows)
+
+
+def test_gather_objects_single_host_and_merge(tmp_path):
+    from glimpseprune_tpu.utils.multihost import gather_objects, merge_host_results
+
+    assert gather_objects({"a": 1}) == [{"a": 1}]
+    p1, p2 = tmp_path / "s0.jsonl", tmp_path / "s1.jsonl"
+    p1.write_text('{"question_id": 1, "x": "a"}\n{"question_id": 2, "x": "b"}\n')
+    p2.write_text('{"question_id": 2, "x": "b"}\n{"question_id": 3, "x": "c"}\n')
+    out = tmp_path / "merged.jsonl"
+    n = merge_host_results([str(p1), str(p2)], str(out))
+    assert n == 3
+    rows = [json.loads(l) for l in open(out)]
+    assert [r["question_id"] for r in rows] == [1, 2, 3]
