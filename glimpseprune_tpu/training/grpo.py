@@ -215,7 +215,12 @@ class GRPOTrainer:
                  temperature: float = 1.0, score_fn: str = "dummy",
                  score_client=None, reward_weight: float = 1.0,
                  kd_weight: float = 0.04, lora_rank: int = 8,
-                 learning_rate: float = 1e-5, seed: int = 0):
+                 learning_rate: float = 1e-5, seed: int = 0,
+                 gen_mask_usage_ratio: float = 1.0):
+        # gen_mask_usage_ratio: fraction of samples pruned with the model's
+        # own generated masks vs ground-truth bbox masks (reference
+        # `_update_ref_token_masks`, train_qwen_gp.py:1091-1119)
+        self.gen_mask_usage_ratio = gen_mask_usage_ratio
         import optax
 
         from glimpseprune_tpu.training.lora import make_lora_params
@@ -254,11 +259,36 @@ class GRPOTrainer:
                 images.append(load_image(s.img_path))
                 queries.append(s.query)
                 answers.append(s.answer)
-        prep = prepare_inputs(cfg, prompts, images, seq_multiple=8, patch_multiple=16)
+        bboxes = None
+        if self.gen_mask_usage_ratio < 1.0:
+            bboxes = []
+            for s in samples:
+                for _ in range(G):
+                    bboxes.append(getattr(s, "normed_bboxes", None))
+            if not any(bboxes):
+                bboxes = None
+        prep = prepare_inputs(cfg, prompts, images, normed_bboxes=bboxes,
+                              seq_multiple=8, patch_multiple=16)
+
+        use_ref = False
+        if bboxes is not None and prep.ref_token_masks is not None:
+            # mix generated masks into the ref masks per the usage ratio:
+            # predict masks first, then overwrite the ref rows selected for
+            # generated-mask usage, and prune with use_ref_masks=True
+            ml, _ = self.runner.glimpse_delayed(prep, use_ref_masks=False)
+            gen_keep = np.asarray(
+                jax.nn.sigmoid(ml[-1]) > cfg.gp.reduce_threshold
+            )
+            host_rng = np.random.default_rng(self.seed)
+            use_gen = host_rng.random(len(prompts)) < self.gen_mask_usage_ratio
+            mixed = prep.ref_token_masks.copy()
+            mixed[use_gen] = gen_keep[use_gen]
+            prep.ref_token_masks = mixed
+            use_ref = True
 
         out = self.runner._prefill(
-            {"params": self.frozen}, self.runner._device_inputs(prep, False),
-            out_len=prep.out_len, use_ref_masks=False,
+            {"params": self.frozen}, self.runner._device_inputs(prep, use_ref),
+            out_len=prep.out_len, use_ref_masks=use_ref,
         )
         seqs, n_gen = self.runner._decode_loop(
             out.logits, out.valid, out.position_ids, out.kv_k, out.kv_v,

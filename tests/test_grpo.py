@@ -124,3 +124,32 @@ def test_score_funcs():
     assert SCORE_FUNCS.get("one_box_format")(["q"], [""], ["no box"]) == [0.0]
     iou = SCORE_FUNCS.get("one_box_iou")(["q"], [[0.0, 0.0, 0.5, 0.5]], ["[0.0, 0.0, 0.5, 0.5]"])
     np.testing.assert_allclose(iou, [1.0])
+
+
+def test_grpo_trainer_mask_mixing():
+    """gen_mask_usage_ratio < 1 mixes generated masks with bbox refs."""
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(0)
+    prep, _ = build_batch(cfg, rng, with_labels=False)
+    _, params = init_params(cfg, prep)
+    runner = GlimpsePruneRunner(cfg, params)
+
+    samples = [
+        TrainSample("q1", "a1", "d0.jpg", normed_bboxes=[[0.0, 0.0, 0.5, 0.5]]),
+        TrainSample("q2", "a2", "d1.jpg", normed_bboxes=[[0.5, 0.5, 1.0, 1.0]]),
+    ]
+
+    def load_image(path):
+        r = np.random.default_rng(hash(path) % 2**31)
+        return r.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+
+    def tokenize(t):
+        return [5 + ord(c) % 200 for c in t[:8]]
+
+    trainer = GRPOTrainer(
+        cfg, runner, None, tokenize, lambda ids: " ".join(map(str, ids)),
+        num_generations=2, max_new_tokens=3, temperature=1.0,
+        score_fn="dummy", lora_rank=2, gen_mask_usage_ratio=0.5,
+    )
+    m = trainer.step_on_batch(samples, load_image, jax.random.PRNGKey(1))
+    assert np.isfinite(m["grpo_total"])
