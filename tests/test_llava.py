@@ -197,3 +197,15 @@ def test_llava_ref_masks(llava_setup):
     out = runner.glimpse(prep, use_ref_masks=True)
     keep = np.asarray(out.keep_img)
     assert (keep & ~prep.ref_token_masks).sum() == 0
+
+
+def test_llava_compressors(llava_setup):
+    """Baseline compressors run in the LLaVA harness (shared machinery)."""
+    cfg, cc, runner, prompts, images = llava_setup
+    prep = prepare_llava_inputs(cfg, cc, prompts, images, seq_multiple=8)
+    for method, kw in [("divprune", {"visual_token_num": 3}),
+                       ("cdpruner", {"visual_token_num": 3}),
+                       ("pdrop", {"stages": ((1, 0.5),)})]:
+        res = runner.generate_compressed(prep, method, max_new_tokens=3, **kw)
+        assert res.sequences.shape == (2, 3), method
+        assert (res.prune_ratio > 0).all(), method
