@@ -20,7 +20,7 @@ import time
 import numpy as np
 
 
-def build_cfg(scale: str):
+def build_cfg(scale: str, reduce_layer_override=None):
     from glimpseprune_tpu.config import GPConfig, ModelConfig, TextConfig, VisionConfig
 
     # reference 3B GP recipe: reduce/select at layer 23 of 36,
@@ -60,12 +60,22 @@ def build_cfg(scale: str):
         )
     else:
         raise ValueError(scale)
-    if text.hidden_size // text.num_attention_heads == 128:
-        pass
+    if reduce_layer_override is not None:
+        import dataclasses
+
+        gp = dataclasses.replace(
+            gp,
+            reduce_layer=reduce_layer_override,
+            selected_layers=(min(gp.selected_layers[0], reduce_layer_override),),
+        )
     return ModelConfig(vision=vision, text=text, gp=gp)
 
 
 def run(scale: str):
+    import os as _os
+    import jax.numpy as jnp
+    reduce_override = _os.environ.get("BENCH_REDUCE_LAYER")
+    reduce_override = int(reduce_override) if reduce_override else None
     import jax
     import jax.numpy as jnp
 
@@ -75,7 +85,7 @@ def run(scale: str):
         prepare_inputs,
     )
 
-    cfg = build_cfg(scale)
+    cfg = build_cfg(scale, reduce_override)
     rng = np.random.default_rng(0)
 
     # ~1M-pixel image -> smart_resize caps at 1280 merged visual tokens
@@ -163,6 +173,35 @@ def run(scale: str):
     t_unpruned = timeit(lambda i: unpruned_fn({"params": params}, dev_inputs,
                                               vanilla_static, i))
 
+    decode_detail = {}
+    if os.environ.get("BENCH_DECODE"):
+        # decode 32 tokens over the compacted vs full KV cache (one chunked
+        # lax.scan each); per-token decode cost is what the 92% smaller KV
+        # buys at larger batch/context
+        out = runner._prefill({"params": params}, dev_inputs,
+                              out_len=prep.out_len, use_ref_masks=False)
+        n_dec = 32
+
+        def dec_pruned(i):
+            seqs, _ = runner._decode_loop(
+                out.logits + i * 1e-6, out.valid, out.position_ids,
+                out.kv_k, out.kv_v, n_dec, -1, chunk_size=n_dec,
+            )
+            return jnp.float32(seqs.sum())
+
+        t0 = time.perf_counter()
+        float(dec_pruned(jnp.float32(0)))
+        compile_s = time.perf_counter() - t0
+        ts = []
+        for i in range(1, 3):
+            t0 = time.perf_counter()
+            float(dec_pruned(jnp.float32(i)))
+            ts.append(time.perf_counter() - t0)
+        decode_detail = {
+            "pruned_decode_tok_s": round(n_dec / (min(ts) - rtt), 1),
+            "decode_compile_s": round(compile_s, 1),
+        }
+
     n_tokens = int(prep.valid.sum())  # real prompt tokens (text + image + le)
     result = {
         "metric": f"gp_pruned_prefill_tokens_per_sec_chip_{scale}",
@@ -176,6 +215,7 @@ def run(scale: str):
             "n_image_tokens": int(prep.n_img_tokens[0]),
             "retention": cfg.gp.max_remain_ratio,
             "device": str(jax.devices()[0]),
+            **decode_detail,
         },
     }
     return result
