@@ -64,21 +64,20 @@ def _mlp(cfg: TextConfig, pl, x, dtype):
 
 
 def _layer_prefill(cfg: TextConfig, pl, x, cos, sin, valid, q_index, dtype):
-    """One decoder layer + the raw glimpse-row logits -> (x, k, v, row)."""
+    """One decoder layer -> (x, k, v, sel_q).
+
+    sel_q is the glimpse token's post-rope query [B, Hq, D] — the only
+    per-layer harvest state; the actual q@K^T rows are computed post-scan
+    for the selected layers only (keeping the scan body free of per-layer
+    harvest matmuls)."""
     h = _rms(x, pl["input_layernorm"]["weight"], cfg.rms_norm_eps)
     q, k, v = _qkv(cfg, pl, h, cos, sin, dtype)
     attn = causal_segment_attention(q, k, v, valid)
     b, s = x.shape[:2]
     x = x + _dense(attn.reshape(b, s, -1), pl["self_attn"]["o_proj"], dtype)
     x = x + _mlp(cfg, pl, _rms(x, pl["post_attention_layernorm"]["weight"], cfg.rms_norm_eps), dtype)
-
-    # raw q_glimpse @ K^T row (masking/log-softmax applied post-scan)
-    hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
     sel_q = jnp.take_along_axis(q, q_index[:, None, None, None], axis=1)[:, 0]
-    k_exp = jnp.repeat(k, hq // hkv, axis=2)
-    row = jnp.einsum("bhd,bthd->bht", sel_q, k_exp, preferred_element_type=jnp.float32)
-    row = (row / jnp.sqrt(jnp.float32(cfg.head_dim))).transpose(0, 2, 1)  # [B, S, Hq]
-    return x, k, v, row
+    return x, k, v, sel_q
 
 
 def _layer_decode(cfg: TextConfig, pl, x, cos, sin, k_cache, v_cache, kv_valid,
@@ -243,15 +242,22 @@ class TextDecoder(nn.Module):
             )
             le_rows = le_vec[le_offset]  # [B, S, H]
             xc = xc + jnp.where(le_inside[..., None], le_rows.astype(xc.dtype), 0)
-            xc, k, v, row = _layer_prefill(cfg, pl, xc, cos, sin, valid, q_index, dtype)
-            return xc, (k, v, row)
+            xc, k, v, sel_q = _layer_prefill(cfg, pl, xc, cos, sin, valid, q_index, dtype)
+            return xc, (k, v, sel_q)
 
         layer_idx = jnp.arange(layer_start, layer_end + 1)
-        x, (ks, vs, rows) = jax.lax.scan(body, x, (layer_idx, le_sl))
+        x, (ks, vs, sel_qs) = jax.lax.scan(body, x, (layer_idx, le_sl))
 
         harvests: Dict[int, jnp.ndarray] = {}
+        hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
         for lid in harvest_layers:
-            raw = rows[lid - layer_start]
+            li = lid - layer_start
+            k_exp = jnp.repeat(ks[li], hq // hkv, axis=2)  # [B, S, Hq, D]
+            raw = jnp.einsum(
+                "bhd,bthd->bht", sel_qs[li], k_exp,
+                preferred_element_type=jnp.float32,
+            )
+            raw = (raw / jnp.sqrt(jnp.float32(cfg.head_dim))).transpose(0, 2, 1)
             harvests[lid] = harvest_postprocess(raw, q_index, valid, use_attention_logits)
         kv = (ks, vs) if collect_kv else None
         return x, kv, harvests
