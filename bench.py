@@ -95,7 +95,11 @@ def run(scale: str):
         + [cfg.vision_start_token_id, cfg.image_token_id, cfg.vision_end_token_id]
         + [int(x) for x in rng.integers(5, 100000, 24)]
     )
-    prep = prepare_inputs(cfg, [prompt], [img])
+    use_ref = bool(_os.environ.get("BENCH_USE_REF"))  # ablation: skip fuser/harvest
+    prep = prepare_inputs(
+        cfg, [prompt], [img],
+        normed_bboxes=[[[0.2, 0.2, 0.5, 0.5]]] if use_ref else None,
+    )
 
     model = Qwen2_5_VL_GP(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
     params = model.init(
@@ -111,7 +115,7 @@ def run(scale: str):
     )["params"]
 
     runner = GlimpsePruneRunner(cfg, params, dtype=jnp.bfloat16)
-    dev_inputs = runner._device_inputs(prep, use_ref_masks=False)
+    dev_inputs = runner._device_inputs(prep, use_ref_masks=use_ref)
 
     # NOTE measurement protocol for the axon TPU tunnel:
     #  - block_until_ready does NOT wait for execution; only a host read does
@@ -124,7 +128,7 @@ def run(scale: str):
     def pruned_fn(params, inputs, i, out_len):
         inputs = dict(inputs)
         inputs["patches"] = inputs["patches"] + i * 1e-6
-        out = runner._prefill_impl(params, inputs, out_len, False)
+        out = runner._prefill_impl(params, inputs, out_len, use_ref)
         return (out.logits.astype(jnp.float32)[0, -1, :8].sum()
                 + out.kv_k.astype(jnp.float32).sum() * 1e-12)
 
