@@ -128,3 +128,17 @@ def test_glimpse_mask_logits_shape(setup):
     n_out = 1 + 1  # ori_attn + last fuser layer (deep_supervision only in training)
     assert out.mask_logits.shape[0] == n_out
     assert out.mask_logits.shape[1:] == prep.img_valid.shape
+
+
+def test_decode_chunk_boundaries_consistent(setup):
+    """Chunked decode produces identical tokens regardless of chunk size."""
+    cfg, params, prompts, images, rng = setup
+    runner = GlimpsePruneRunner(cfg, params)
+    prep = prepare_inputs(cfg, prompts, images, seq_multiple=8, patch_multiple=16)
+    out = runner._prefill({"params": params}, runner._device_inputs(prep, False),
+                          out_len=prep.out_len, use_ref_masks=False)
+    args = (out.logits, out.valid, out.position_ids, out.kv_k, out.kv_v)
+    s_big, n_big = runner._decode_loop(*args, 7, cfg.eos_token_id, chunk_size=7)
+    s_small, n_small = runner._decode_loop(*args, 7, cfg.eos_token_id, chunk_size=2)
+    np.testing.assert_array_equal(s_big, s_small)
+    np.testing.assert_array_equal(n_big, n_small)
