@@ -12,6 +12,7 @@ once per (S, P, R) bucket.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -66,6 +67,7 @@ def prepare_inputs(
     max_pixels: Optional[int] = None,
     seq_multiple: int = 64,
     patch_multiple: int = 256,
+    use_native_preproc: Optional[bool] = None,
 ) -> PreparedInputs:
     """Build statically-shaped model inputs for one batch.
 
@@ -83,6 +85,17 @@ def prepare_inputs(
         preprocess_image,
     )
     from glimpseprune_tpu.preprocessing.ref_masks import ref_token_mask_from_bboxes
+
+    if use_native_preproc is None:
+        use_native_preproc = os.environ.get("GP_NATIVE_PREPROC", "") == "1"
+    if use_native_preproc:
+        from glimpseprune_tpu.preprocessing.native import (
+            available as _native_ok,
+            preprocess_image_native,
+        )
+
+        if _native_ok():
+            preprocess_image = preprocess_image_native
 
     v = cfg.vision
     mu = v.spatial_merge_unit
