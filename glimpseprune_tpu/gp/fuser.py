@@ -107,7 +107,13 @@ def build_fuser_geometry(
 
 
 def _permute(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """x [B, N, ...] permuted along axis 1 by per-row idx [B, N]."""
+    """x [B, N, ...] permuted along axis 1 by per-row idx [B, N].
+
+    Float 3-D permutes go through a one-hot matmul (TPU gathers of float
+    matrices are slow; see gp_model._slot_onehot)."""
+    if x.ndim == 3 and jnp.issubdtype(x.dtype, jnp.floating):
+        oh = (idx[..., None] == jnp.arange(x.shape[1])[None, None, :]).astype(x.dtype)
+        return jnp.einsum("bns,bsd->bnd", oh, x)
     extra = x.ndim - 2
     idxe = idx.reshape(idx.shape + (1,) * extra)
     return jnp.take_along_axis(x, jnp.broadcast_to(idxe, idx.shape + x.shape[2:]), axis=1)

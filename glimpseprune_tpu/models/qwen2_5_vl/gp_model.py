@@ -72,10 +72,28 @@ class GlimpseOutputs(NamedTuple):
     le_loss: Optional[jnp.ndarray]
 
 
+def _slot_onehot(slots: jnp.ndarray, slot_valid: jnp.ndarray, s_len: int,
+                 dtype) -> jnp.ndarray:
+    """[B, N, S] one-hot selection (zeroed at invalid slots).
+
+    TPU lowers scattered gathers/scatters of big float arrays terribly
+    (tens of ms at [5k, 1280]-scale operands); the one-hot matmul form rides
+    the MXU in well under a millisecond — same trick as ops/compaction.
+    """
+    oh = slots[..., None] == jnp.arange(s_len)[None, None, :]
+    oh = oh & slot_valid[..., None]
+    return oh.astype(dtype)
+
+
 def _scatter_rows(dest: jnp.ndarray, slots: jnp.ndarray, src: jnp.ndarray,
                   slot_valid: jnp.ndarray) -> jnp.ndarray:
     """dest [B, S, ...] <- src [B, N, ...] at positions slots [B, N] where
     slot_valid; invalid slots leave dest untouched."""
+    if dest.ndim == 3 and jnp.issubdtype(dest.dtype, jnp.floating):
+        oh = _slot_onehot(slots, slot_valid, dest.shape[1], dest.dtype)
+        covered = oh.sum(axis=1)  # [B, S] (0/1: slots are unique positions)
+        scattered = jnp.einsum("bns,bnd->bsd", oh, src.astype(dest.dtype))
+        return dest * (1 - covered)[..., None] + scattered
     bidx = jnp.arange(dest.shape[0])[:, None]
     cur = dest[bidx, slots]
     extra = dest.ndim - 2
@@ -87,6 +105,9 @@ def _scatter_rows(dest: jnp.ndarray, slots: jnp.ndarray, src: jnp.ndarray,
 def _gather_rows(src: jnp.ndarray, slots: jnp.ndarray, slot_valid: jnp.ndarray,
                  fill=0) -> jnp.ndarray:
     """src [B, S, ...] -> [B, N, ...] at positions slots; invalid -> fill."""
+    if src.ndim == 3 and jnp.issubdtype(src.dtype, jnp.floating) and fill == 0:
+        oh = _slot_onehot(slots, slot_valid, src.shape[1], src.dtype)
+        return jnp.einsum("bns,bsd->bnd", oh, src)
     bidx = jnp.arange(src.shape[0])[:, None]
     out = src[bidx, slots]
     extra = src.ndim - 2
@@ -265,6 +286,11 @@ class Qwen2_5_VL_GP(nn.Module):
             rows = [harvests[l] for l in gp.selected_layers]  # [B, S, Hq] each
             attn_map = jnp.stack(rows, axis=2)  # [B, S, n_sel, Hq]
             attn_map = attn_map.reshape(B, S, -1)
+            # log-softmax rows carry -inf at masked (non-image) positions;
+            # the image positions we gather are always finite (the glimpse
+            # token sees every image token), but the one-hot matmul gather
+            # would turn 0 * -inf into NaN — clamp first
+            attn_map = jnp.maximum(attn_map, -1e30)
             attn_map = _gather_rows(attn_map, img_slots, img_valid)  # [B, N, n_sel*Hq]
             taps_rows = [
                 _gather_rows(
