@@ -96,9 +96,15 @@ def run(scale: str):
         + [int(x) for x in rng.integers(5, 100000, 24)]
     )
     use_ref = bool(_os.environ.get("BENCH_USE_REF"))  # ablation: skip fuser/harvest
+    max_px = int(_os.environ.get("BENCH_MAX_PIXELS", "0")) or None
+    if max_px:
+        # larger-image operating point: regenerate a big enough source image
+        side = int((max_px * 1.3) ** 0.5)
+        img = rng.integers(0, 255, (side, side, 3), dtype=np.uint8)
     prep = prepare_inputs(
         cfg, [prompt], [img],
         normed_bboxes=[[[0.2, 0.2, 0.5, 0.5]]] if use_ref else None,
+        max_pixels=max_px,
     )
 
     model = Qwen2_5_VL_GP(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
