@@ -542,6 +542,61 @@ class GlimpsePruneRunner:
             d["anchor_mask"] = jnp.asarray(prep.anchor_mask)
         return d
 
+    def harvest_rows(self, prep: PreparedInputs, layers=None):
+        """Raw glimpse cross-attention rows per layer/head for visualization
+        (the reference Sep model's full attention-map extraction,
+        model_sep.py:53-72). Returns {layer: [B, N_img, Hq]} log-prob rows
+        over image tokens (natural order)."""
+        cfg = self.cfg
+        layers = tuple(layers) if layers else tuple(cfg.gp.selected_layers)
+        inputs = self._device_inputs(prep, False)
+
+        def fn(params, inputs):
+            merged, _ = self.model.apply(
+                params, inputs["patches"], inputs["vis_pos_ids"],
+                inputs["full_seg"], inputs["vis_valid"],
+                method=self.model.vision_encode,
+            )
+            from glimpseprune_tpu.models.qwen2_5_vl.gp_model import (
+                _gather_rows,
+                _scatter_rows,
+            )
+            from glimpseprune_tpu.ops.rope import mrope_cos_sin
+
+            def run(m):
+                B = inputs["input_ids"].shape[0]
+                embeds = m.text.embed(inputs["input_ids"])
+                rows_img = _gather_rows(
+                    jnp.broadcast_to(merged[None], (B,) + merged.shape),
+                    inputs["packed_idx"], inputs["img_valid"],
+                )
+                embeds = _scatter_rows(embeds, inputs["img_slots"], rows_img,
+                                       inputs["img_valid"])
+                cos, sin = mrope_cos_sin(
+                    inputs["position_ids"], cfg.text.head_dim,
+                    cfg.text.rope_theta, cfg.text.mrope_section,
+                )
+                _, _, harvests = m.text.run_layers(
+                    embeds, cos.astype(m.dtype), sin.astype(m.dtype),
+                    inputs["valid"],
+                    layer_end=max(layers),
+                    harvest_layers=layers,
+                    use_attention_logits=cfg.gp.use_attention_logits,
+                )
+                out = {}
+                for l, row in harvests.items():
+                    row = jnp.maximum(row, -1e30)
+                    out[l] = _gather_rows(row, inputs["img_slots"], inputs["img_valid"])
+                return out
+
+            return self.model.apply(params, method=run)
+
+        if not hasattr(self, "_harvest_jit"):
+            self._harvest_jit = {}
+        if layers not in self._harvest_jit:
+            self._harvest_jit[layers] = jax.jit(fn)
+        return self._harvest_jit[layers]({"params": self.params}, inputs)
+
     def glimpse_delayed(self, prep: PreparedInputs, use_ref_masks: bool = False,
                         training: bool = False):
         """Two-phase API, phase 1 (reference delay_selection=True,

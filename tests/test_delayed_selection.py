@@ -39,3 +39,21 @@ def test_delayed_selection_matches_one_shot_and_allows_override():
     keep = np.asarray(out2.keep_img)
     assert keep[:, :2].all()
     assert keep.sum(1).max() <= 2 + cfg.gp.min_remain_num
+
+
+def test_harvest_rows_api():
+    """Per-layer/head glimpse attention rows for visualization (Sep-model
+    extraction parity)."""
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(0)
+    prep, _ = build_batch(cfg, rng, with_labels=False)
+    _, params = init_params(cfg, prep)
+    runner = GlimpsePruneRunner(cfg, params)
+    rows = runner.harvest_rows(prep, layers=(0, 1))
+    assert set(rows) == {0, 1}
+    for r in rows.values():
+        r = np.asarray(r)
+        assert r.shape == (2, prep.img_valid.shape[1], cfg.text.num_attention_heads)
+        assert np.isfinite(r).all()
+    # log-prob rows: probabilities over visible keys <= 1
+    assert float(np.exp(np.asarray(rows[1])).max()) <= 1.0 + 1e-5
