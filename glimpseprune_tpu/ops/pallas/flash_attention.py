@@ -2,14 +2,16 @@
 
 The hot attention kernel for both towers: the ViT's full-attention blocks
 (bidirectional, per-image segments over the packed patch sequence) and the
-LLM prefill (causal + left-pad validity). Online-softmax streaming over KV
-blocks keeps memory at O(block) instead of materializing [S, S] logits —
-the reference leans on flash-attn CUDA for the same reason (SURVEY.md §2.9).
+LLM prefill (causal + left-pad validity). Online-softmax accumulators live in
+VMEM scratch while K/V stream through the grid's innermost dimension, so
+VMEM stays O(block) at any sequence length (an earlier whole-KV-resident
+version hit the 16MB VMEM ceiling at ~14k keys). The reference leans on
+flash-attn CUDA for the same memory behavior (SURVEY.md §2.9).
 
 Layout: q [B, Hq, Sq, D], k/v [B, Hkv, Skv, D]; GQA is handled in the k/v
 BlockSpec index map (q head h reads kv head h // group). Segment ids are
-int32, [B, S]; attention is allowed iff equal and >= 0. D and S must be
-multiples of 128 (wrappers pad).
+int32, [B, S]; attention is allowed iff equal and >= 0. D and S are padded
+to block multiples by the wrapper.
 """
 
 from __future__ import annotations
@@ -26,67 +28,69 @@ NEG_INF = -1e30
 
 
 def _kernel(
-    qseg_ref,  # [1, bq] int32   (SMEM-ish small VMEM block)
-    kseg_ref,  # [1, Skv] int32
+    qseg_ref,  # [1, bq] int32
+    kseg_ref,  # [1, bk] int32
     q_ref,     # [bq, D]
-    k_ref,     # [Skv, D]
-    v_ref,     # [Skv, D]
+    k_ref,     # [bk, D]
+    v_ref,     # [bk, D]
     o_ref,     # [bq, D]
+    m_ref,     # scratch [bq, 1] f32
+    l_ref,     # scratch [bq, 1] f32
+    acc_ref,   # scratch [bq, D] f32
     *,
     sm_scale: float,
-    block_k: int,
     causal: bool,
     bq: int,
+    bk: int,
 ):
-    skv = k_ref.shape[0]
-    d = q_ref.shape[1]
     iq = pl.program_id(2)
+    j = pl.program_id(3)
+    nk = pl.num_programs(3)
 
-    q = q_ref[:].astype(jnp.float32) * sm_scale
-    # Mosaic constraint: keep masks/stats 2-D (1-D bool reshapes unsupported)
-    qseg_col = qseg_ref[:, :].reshape(bq, 1)  # [bq, 1] int32
-    q_pos_col = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    nk = skv // block_k
+    # causal: kv blocks strictly above the diagonal contribute nothing
+    run = True
     if causal:
-        # only kv blocks touching or below the diagonal
-        nk_eff = jnp.minimum(nk, pl.cdiv((iq + 1) * bq, block_k))
-    else:
-        nk_eff = nk
+        run = j * bk <= iq * bq + bq - 1
 
-    def body(j, carry):
-        m, l, acc = carry  # m, l: [bq, 1] f32
-        kb = k_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        vb = v_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+    @pl.when(run)
+    def _step():
+        q = q_ref[:].astype(jnp.float32) * sm_scale
+        kb = k_ref[:].astype(jnp.float32)
+        vb = v_ref[:].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [bq, bk]
-        kseg_row = kseg_ref[:, pl.ds(j * block_k, block_k)]  # [1, bk]
+        qseg_col = qseg_ref[:, :].reshape(bq, 1)
+        kseg_row = kseg_ref[:, :]  # [1, bk]
         allowed = (qseg_col == kseg_row) & (qseg_col >= 0)
         if causal:
-            k_pos_row = j * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (1, block_k), 1
-            )
+            q_pos_col = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+            k_pos_row = j * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
             allowed = allowed & (q_pos_col >= k_pos_row)
         s = jnp.where(allowed, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
             p, vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        return m_new, l_new, acc_new
+        m_ref[:] = m_new
 
-    m0 = jnp.full((bq, 1), NEG_INF, dtype=jnp.float32)
-    l0 = jnp.zeros((bq, 1), dtype=jnp.float32)
-    acc0 = jnp.zeros((bq, d), dtype=jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, nk_eff, body, (m0, l0, acc0))
-    out = acc / jnp.maximum(l, 1e-30)
-    # rows that never saw an allowed key (padding / empty causal prefix) keep
-    # m at the mask floor; force their output to zero
-    out = jnp.where(m > NEG_INF * 0.5, out, 0.0)
-    o_ref[:] = out.astype(o_ref.dtype)
+    @pl.when(j == nk - 1)
+    def _finish():
+        out = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+        # rows that never saw an allowed key keep m at the floor -> zero out
+        out = jnp.where(m_ref[:] > NEG_INF * 0.5, out, 0.0)
+        o_ref[:] = out.astype(o_ref.dtype)
 
 
 def _pad_to(x, axis, mult, value=0):
@@ -130,24 +134,32 @@ def flash_attention(
     qsp = _pad_to(q_segment_ids.astype(jnp.int32), 1, block_q, value=-1)
     ksp = _pad_to(kv_segment_ids.astype(jnp.int32), 1, block_k, value=-2)
 
-    grid = (b, hq, sq_p // block_q)
+    grid = (b, hq, sq_p // block_q, skv_p // block_k)
     kernel = functools.partial(
-        _kernel, sm_scale=sm_scale, block_k=block_k, causal=causal, bq=block_q
+        _kernel, sm_scale=sm_scale, causal=causal, bq=block_q, bk=block_k
     )
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q), lambda bi, h, iq: (bi, iq), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv_p), lambda bi, h, iq: (bi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, block_q, d_p), lambda bi, h, iq: (bi, h, iq, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, skv_p, d_p), lambda bi, h, iq: (bi, h // group, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, skv_p, d_p), lambda bi, h, iq: (bi, h // group, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda bi, h, iq, j: (bi, iq), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k), lambda bi, h, iq, j: (bi, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_q, d_p), lambda bi, h, iq, j: (bi, h, iq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_k, d_p), lambda bi, h, iq, j: (bi, h // group, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_k, d_p), lambda bi, h, iq, j: (bi, h // group, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (None, None, block_q, d_p), lambda bi, h, iq: (bi, h, iq, 0), memory_space=pltpu.VMEM
+            (None, None, block_q, d_p), lambda bi, h, iq, j: (bi, h, iq, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, hq, sq_p, d_p), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d_p), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(
         qsp, ksp,
