@@ -101,9 +101,10 @@ def run(scale: str):
         # larger-image operating point: regenerate a big enough source image
         side = int((max_px * 1.3) ** 0.5)
         img = rng.integers(0, 255, (side, side, 3), dtype=np.uint8)
+    batch = int(_os.environ.get("BENCH_BATCH", "1"))
     prep = prepare_inputs(
-        cfg, [prompt], [img],
-        normed_bboxes=[[[0.2, 0.2, 0.5, 0.5]]] if use_ref else None,
+        cfg, [prompt] * batch, [img] * batch,
+        normed_bboxes=[[[0.2, 0.2, 0.5, 0.5]]] * batch if use_ref else None,
         max_pixels=max_px,
     )
 
