@@ -28,7 +28,7 @@ class CLIPAttention(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, emit_importance: bool = False):
         b, s, _ = x.shape
         hd = self.hidden_size // self.num_heads
         kw = dict(use_bias=True, dtype=self.dtype, param_dtype=self.param_dtype)
@@ -39,7 +39,15 @@ class CLIPAttention(nn.Module):
         logits = jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32) * scale
         probs = nn.softmax(logits, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhst,bthd->bshd", probs, v).reshape(b, s, self.hidden_size)
-        return nn.Dense(self.hidden_size, name="out_proj", **kw)(out)
+        out = nn.Dense(self.hidden_size, name="out_proj", **kw)(out)
+        if emit_importance:
+            # VisionZip (LLaVA): dominant ranking = CLS-query attention over
+            # patches (reference llava_visionzip CLIP hook); keys for the
+            # contextual merge metric
+            cls_attn = probs[:, :, 0, 1:].astype(jnp.float32).mean(axis=1)  # [B, N]
+            keys_mean = k[:, 1:].astype(jnp.float32).mean(axis=2)  # [B, N, hd]
+            return out, (cls_attn, keys_mean)
+        return out
 
 
 class CLIPMLP(nn.Module):
@@ -64,16 +72,22 @@ class CLIPBlock(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, emit_importance: bool = False):
         ln = dict(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)
-        x = x + CLIPAttention(self.hidden_size, self.num_heads, self.dtype,
-                              self.param_dtype, name="self_attn")(
-            nn.LayerNorm(name="layer_norm1", **ln)(x)
+        attn_out = CLIPAttention(self.hidden_size, self.num_heads, self.dtype,
+                                 self.param_dtype, name="self_attn")(
+            nn.LayerNorm(name="layer_norm1", **ln)(x), emit_importance
         )
+        importance = None
+        if emit_importance:
+            attn_out, importance = attn_out
+        x = x + attn_out
         x = x + CLIPMLP(self.hidden_size, self.intermediate_size, self.dtype,
                         self.param_dtype, name="mlp")(
             nn.LayerNorm(name="layer_norm2", **ln)(x)
         )
+        if emit_importance:
+            return x, importance
         return x
 
 
@@ -92,7 +106,7 @@ class CLIPVisionTower(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, pixels: jnp.ndarray):
+    def __call__(self, pixels: jnp.ndarray, emit_importance: bool = False):
         """pixels [B, H, W, C] normalized."""
         b = pixels.shape[0]
         g = self.image_size // self.patch_size
@@ -123,13 +137,21 @@ class CLIPVisionTower(nn.Module):
         feature_layer = self.feature_layer % self.depth
         taps: List[Optional[jnp.ndarray]] = [None] * len(self.tap_layers)
         features = None
+        importance = None
         for i in range(self.depth):
-            x = CLIPBlock(
+            want_imp = emit_importance and i == feature_layer
+            out = CLIPBlock(
                 self.hidden_size, self.num_heads, self.intermediate_size,
                 self.dtype, self.param_dtype, name=f"layers_{i}",
-            )(x)
+            )(x, emit_importance=want_imp)
+            if want_imp:
+                x, importance = out
+            else:
+                x = out
             if i == feature_layer:
                 features = x[:, 1:]  # drop CLS (llava feature_select)
             if i in self.tap_layers:
                 taps[self.tap_layers.index(i)] = x[:, 1:]
+        if emit_importance:
+            return features, taps, importance
         return features, taps

@@ -160,13 +160,24 @@ class Llava_GP(Qwen2_5_VL_GP):
                 self.le_norm = nn.LayerNorm(dtype=self.dtype)
             self.le_dropout = nn.Dropout(rate=c.gp.le_dropout_prob)
 
-    def vision_encode(self, pixels, *unused, emit_importance: bool = False):
-        """pixels [B, S, S, 3] -> (packed projected embeds [B*G*G, H], taps).
+    def vision_encode(self, pixels, pos_ids=None, full_seg=None,
+                      vis_valid=None, emit_importance: bool = False):
+        """pixels [B, S, S, 3] -> (packed projected embeds [B*G*G, H], taps
+        [, importance]). Importance = (cls_attention, keys, cls_attention)
+        packed to [B*G*G, ...] — the LLaVA VisionZip dominant metric
+        (reference llava_visionzip/main.py + clip_encoder hook); VScan's
+        local/global scans both use the CLS map here.
 
-        Extra positional args are accepted (and ignored) so the inherited
-        jitted pipelines that pass Qwen-style geometry still work.
+        The Qwen-style geometry args (pos_ids/full_seg/vis_valid) are
+        accepted and ignored so the inherited jitted pipelines can pass them
+        positionally.
         """
-        feats, taps = self.visual(pixels)  # [B, G*G, D_clip]
+        if emit_importance:
+            feats, taps, (cls_attn, keys_mean) = self.visual(
+                pixels, emit_importance=True
+            )
+        else:
+            feats, taps = self.visual(pixels)
         b, n, d = feats.shape
         proj = self.mm_projector_fc1(feats)
         proj = nn.gelu(proj, approximate=False)
@@ -174,5 +185,7 @@ class Llava_GP(Qwen2_5_VL_GP):
         packed = proj.reshape(b * n, -1)
         packed_taps = [t.reshape(b * n, -1) for t in taps]
         if emit_importance:
-            return packed, packed_taps, None
+            imp = cls_attn.reshape(b * n)
+            keys = keys_mean.reshape(b * n, -1)
+            return packed, packed_taps, (imp, keys, imp)
         return packed, packed_taps

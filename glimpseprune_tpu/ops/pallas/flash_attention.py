@@ -28,7 +28,7 @@ NEG_INF = -1e30
 
 
 def _kernel(
-    qseg_ref,  # [1, bq] int32
+    qseg_ref,  # [1, bq] int32 (blocked from [B, 1, Sq])
     kseg_ref,  # [1, bk] int32
     q_ref,     # [bq, D]
     k_ref,     # [bk, D]
@@ -131,8 +131,11 @@ def flash_attention(
     qp = _pad_to(_pad_to(q, 3, 128), 2, block_q)
     kp = _pad_to(_pad_to(k, 3, 128), 2, block_k)
     vp = _pad_to(_pad_to(v, 3, 128), 2, block_k)
-    qsp = _pad_to(q_segment_ids.astype(jnp.int32), 1, block_q, value=-1)
-    ksp = _pad_to(kv_segment_ids.astype(jnp.int32), 1, block_k, value=-2)
+    # seg ids ride as [B, 1, S] so the blocked last-two dims are (1, block):
+    # dim -2 equals the array dim (Mosaic allows block==dim), dim -1 is a
+    # 128-multiple — required once B > 1 (a [B, S] layout needs B % 8 == 0).
+    qsp = _pad_to(q_segment_ids.astype(jnp.int32), 1, block_q, value=-1)[:, None, :]
+    ksp = _pad_to(kv_segment_ids.astype(jnp.int32), 1, block_k, value=-2)[:, None, :]
 
     grid = (b, hq, sq_p // block_q, skv_p // block_k)
     kernel = functools.partial(
@@ -142,8 +145,8 @@ def flash_attention(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q), lambda bi, h, iq, j: (bi, iq), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k), lambda bi, h, iq, j: (bi, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, block_q), lambda bi, h, iq, j: (bi, 0, iq), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, block_k), lambda bi, h, iq, j: (bi, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, None, block_q, d_p), lambda bi, h, iq, j: (bi, h, iq, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, None, block_k, d_p), lambda bi, h, iq, j: (bi, h // group, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, None, block_k, d_p), lambda bi, h, iq, j: (bi, h // group, j, 0), memory_space=pltpu.VMEM),

@@ -205,6 +205,8 @@ def test_llava_compressors(llava_setup):
     prep = prepare_llava_inputs(cfg, cc, prompts, images, seq_multiple=8)
     for method, kw in [("divprune", {"visual_token_num": 3}),
                        ("cdpruner", {"visual_token_num": 3}),
+                       ("visionzip", {"dominant_ratio": 0.3, "contextual_ratio": 0.1}),
+                       ("vscan", {"visual_token_num": 4}),
                        ("pdrop", {"stages": ((1, 0.5),)})]:
         res = runner.generate_compressed(prep, method, max_new_tokens=3, **kw)
         assert res.sequences.shape == (2, 3), method
