@@ -41,7 +41,18 @@ def build_cfg(scale: str, reduce_layer_override=None):
         min_remain_num=1,
         ori_attn_supervision=False,
     )
-    if scale == "3b":
+    if scale == "7b":
+        # reference qwen2_5_7b_gp.yaml recipe: reduce/select at 18 of 28
+        text = TextConfig(
+            vocab_size=152064, hidden_size=3584, intermediate_size=18944,
+            num_hidden_layers=28, num_attention_heads=28, num_key_value_heads=4,
+        )
+        vision = VisionConfig(out_hidden_size=3584)
+        gp = GPConfig(
+            **{**gp.__dict__, "selected_layers": (18,), "reduce_layer": 18,
+               "le_layers": tuple(range(28))}
+        )
+    elif scale == "3b":
         text = TextConfig(
             vocab_size=151936, hidden_size=2048, intermediate_size=11008,
             num_hidden_layers=36, num_attention_heads=16, num_key_value_heads=2,
@@ -86,6 +97,14 @@ def run(scale: str):
     )
 
     cfg = build_cfg(scale, reduce_override)
+    quant = _os.environ.get("BENCH_QUANT", "")
+    if quant not in ("", "int8"):
+        raise ValueError(f"BENCH_QUANT must be '' or 'int8', got {quant!r}")
+    if quant == "int8":
+        # weight-only int8 (quantization.py): 7B fits one 16GB v5e chip
+        from glimpseprune_tpu.quantization import quantized_config
+
+        cfg = quantized_config(cfg)
     rng = np.random.default_rng(0)
 
     # ~1M-pixel image -> smart_resize caps at 1280 merged visual tokens
@@ -109,7 +128,10 @@ def run(scale: str):
     )
 
     model = Qwen2_5_VL_GP(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
-    params = model.init(
+    # jitted init: with int8 declarations the fp stack values are DCE'd, so
+    # only the final (quantized) tree ever materializes on device
+    init_jit = jax.jit(model.init, static_argnums=(16,))
+    params = init_jit(
         jax.random.PRNGKey(0),
         jnp.asarray(prep.input_ids), jnp.asarray(prep.valid),
         jnp.asarray(prep.position_ids), jnp.asarray(prep.patches),
@@ -215,7 +237,8 @@ def run(scale: str):
 
     n_tokens = int(prep.valid.sum())  # real prompt tokens (text + image + le)
     result = {
-        "metric": f"gp_pruned_prefill_tokens_per_sec_chip_{scale}",
+        "metric": f"gp_pruned_prefill_tokens_per_sec_chip_{scale}"
+        + (f"_{quant}" if quant else ""),
         "value": round(n_tokens / t_pruned, 1),
         "unit": "tokens/s",
         "vs_baseline": round(t_unpruned / t_pruned, 3),
@@ -237,8 +260,8 @@ def main():
     try:
         result = run(scale)
     except Exception as e:  # OOM etc: fall back to the smaller shape
-        if scale == "3b":
-            sys.stderr.write(f"3b bench failed ({type(e).__name__}: {e}); retrying 1b\n")
+        if scale in ("3b", "7b"):
+            sys.stderr.write(f"{scale} bench failed ({type(e).__name__}: {e}); retrying 1b\n")
             result = run("1b")
         else:
             raise

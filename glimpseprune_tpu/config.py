@@ -40,6 +40,9 @@ class VisionConfig:
     fullatt_block_indexes: Tuple[int, ...] = (7, 15, 23, 31)
     out_hidden_size: int = 3584
     hidden_act: str = "silu"
+    # "none" | "int8": weight-only quantization of the block stack
+    # (quantization.py; reference builder.py load_8bit analogue)
+    weight_quant: str = "none"
 
     def __post_init__(self):
         object.__setattr__(self, "fullatt_block_indexes", _tupled(self.fullatt_block_indexes))
@@ -72,6 +75,8 @@ class TextConfig:
     # Llama-family knobs: no qkv bias, plain 1-D rope (expressed as a single
     # mrope section spanning head_dim//2 with identical position channels)
     attention_bias: bool = True
+    # "none" | "int8": weight-only quantization of the layer stack
+    weight_quant: str = "none"
 
     def __post_init__(self):
         object.__setattr__(self, "mrope_section", _tupled(self.mrope_section))

@@ -40,7 +40,13 @@ def _rms(x, weight, eps):
 
 
 def _dense(x, p, dtype):
-    y = x.astype(dtype) @ p["kernel"].astype(dtype)
+    if "kernel_q" in p:
+        # weight-only int8 (quantization.py): dequant fuses into the matmul;
+        # only this layer's bf16 kernel materializes inside the scan
+        w = p["kernel_q"].astype(dtype) * p["kernel_scale"].astype(dtype)
+    else:
+        w = p["kernel"].astype(dtype)
+    y = x.astype(dtype) @ w
     if "bias" in p:
         y = y + p["bias"].astype(dtype)
     return y
@@ -162,7 +168,12 @@ class TextDecoder(nn.Module):
         c = self.cfg
         self.embed_tokens = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype,
                                      param_dtype=self.param_dtype)
-        self.layers = self.param("layers", _init_layer_stack(c, self.param_dtype))
+        init_fn = _init_layer_stack(c, self.param_dtype)
+        if c.weight_quant == "int8":
+            from glimpseprune_tpu.quantization import quantize_structure
+            _base = init_fn
+            init_fn = lambda rng: quantize_structure(_base(rng))
+        self.layers = self.param("layers", init_fn)
         self.norm_weight = self.param(
             "norm", lambda rng: {"weight": jnp.ones((c.hidden_size,), jnp.float32)}
         )

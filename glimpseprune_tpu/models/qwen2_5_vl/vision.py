@@ -42,7 +42,13 @@ def _rms(x, weight, eps=1e-6):
 
 
 def _dense(x, p, dtype):
-    y = x.astype(dtype) @ p["kernel"].astype(dtype)
+    if "kernel_q" in p:
+        # weight-only int8 (quantization.py): dequant fuses into the matmul;
+        # only this layer's bf16 kernel materializes inside the scan
+        w = p["kernel_q"].astype(dtype) * p["kernel_scale"].astype(dtype)
+    else:
+        w = p["kernel"].astype(dtype)
+    y = x.astype(dtype) @ w
     if "bias" in p:
         y = y + p["bias"].astype(dtype)
     return y
@@ -144,9 +150,12 @@ class VisionTransformer(nn.Module):
         c = self.cfg
         self.patch_embed = nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype,
                                     param_dtype=self.param_dtype)
-        self.blocks = self.param(
-            "blocks", _init_block_stack(c, c.depth, self.param_dtype)
-        )
+        init_fn = _init_block_stack(c, c.depth, self.param_dtype)
+        if c.weight_quant == "int8":
+            from glimpseprune_tpu.quantization import quantize_structure
+            _base = init_fn
+            init_fn = lambda rng: quantize_structure(_base(rng))
+        self.blocks = self.param("blocks", init_fn)
         self.merger_ln_q = self.param(
             "merger_ln_q", lambda rng: {"weight": jnp.ones((c.hidden_size,), jnp.float32)}
         )

@@ -1,0 +1,146 @@
+"""Weight-only int8 quantization for the frozen base model.
+
+TPU-native replacement for the reference's bitsandbytes 8/4-bit builder
+(reference llava/model/builder.py load_8bit/load_4bit): the goal there is
+fitting the frozen LVLM in accelerator memory; here the payoff is the same —
+Qwen2.5-VL-7B at bf16 is 16.6 GB and does not fit a 16 GB v5e chip, while
+int8 decoder weights bring it to ~10 GB.
+
+Scheme: symmetric per-output-channel int8 on the big matmul kernels
+(`.../kernel` leaves, 2-D or stacked 3-D [L, in, out]). A quantized kernel
+becomes two leaves next to each other in the same param dict:
+
+    {"kernel_q": int8 [..., in, out], "kernel_scale": f32 [..., 1, out]}
+
+`_dense` in the language/vision towers dequantizes at use:
+`w = kernel_q * kernel_scale` in bf16 — XLA fuses the multiply into the
+matmul's operand pipeline, and inside the layer scan only ONE layer's
+weights ever materialize in bf16 (the HBM-resident stack stays int8).
+GP modules, norms, biases, and embeddings stay in bf16/f32 (they are
+<15% of weights and carry most of the quantization sensitivity).
+
+Sharding: `kernel_q` inherits the kernel's PartitionSpec via the
+`kernel(_q)?` rules in parallel/mesh.py; `kernel_scale` is replicated
+(tiny) and broadcasts across output shards under GSPMD.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+# kernels worth quantizing: the stacked decoder / vision-block matmuls.
+DEFAULT_INCLUDE: Sequence[str] = (
+    r"text/layers/.*/kernel",
+    r"visual/blocks/.*/kernel",
+)
+
+
+def _match(path: str, patterns: Sequence[str]) -> bool:
+    return any(re.fullmatch(p, path) for p in patterns)
+
+
+def quantize_int8(
+    params: Dict[str, Any],
+    include: Sequence[str] = DEFAULT_INCLUDE,
+) -> Dict[str, Any]:
+    """Return a new param tree with matching kernels replaced by
+    (kernel_q int8, kernel_scale f32) pairs. Idempotent on already-quantized
+    trees (quantized kernels no longer match `.../kernel`)."""
+
+    def walk(node, prefix):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for name, child in node.items():
+            path = f"{prefix}/{name}" if prefix else name
+            if (
+                name == "kernel"
+                and _match(path, include)
+                and getattr(child, "ndim", 0) >= 2
+            ):
+                w = np.asarray(child, dtype=np.float32)
+                # per-(layer, output-channel) symmetric: reduce only the
+                # contraction dim, keep leading stack axes
+                amax = np.abs(w).max(axis=-2, keepdims=True)
+                scale = np.maximum(amax, 1e-8) / 127.0
+                q = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
+                out["kernel_q"] = jnp.asarray(q)
+                out["kernel_scale"] = jnp.asarray(scale.astype(np.float32))
+            else:
+                out[name] = walk(child, path)
+        return out
+
+    return walk(params, "")
+
+
+def dequantize_int8(params: Dict[str, Any], dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Inverse transform (materializes bf16 kernels; for debugging/export)."""
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for name, child in node.items():
+            if name == "kernel_q":
+                out["kernel"] = (
+                    child.astype(jnp.float32) * node["kernel_scale"]
+                ).astype(dtype)
+            elif name == "kernel_scale":
+                continue
+            else:
+                out[name] = walk(child)
+        return out
+
+    return walk(params)
+
+
+def quantized_bytes(params) -> int:
+    """Total parameter bytes (reporting helper)."""
+    import jax
+
+    return sum(
+        leaf.size * leaf.dtype.itemsize
+        for leaf in jax.tree_util.tree_leaves(params)
+        if hasattr(leaf, "dtype")
+    )
+
+
+def quantize_structure(tree):
+    """Shape-only transform matching quantize_int8's output structure.
+
+    Used by the stacked-layer initializers when cfg.weight_quant == "int8":
+    flax validates a stored param's pytree against the initializer under
+    eval_shape, so the module must DECLARE the quantized structure to accept
+    quantized weights. Values here are placeholders (zeros/ones)."""
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for name, child in node.items():
+            if name == "kernel" and getattr(child, "ndim", 0) >= 2:
+                out["kernel_q"] = jnp.zeros(child.shape, jnp.int8)
+                out["kernel_scale"] = jnp.ones(
+                    child.shape[:-2] + (1, child.shape[-1]), jnp.float32
+                )
+            else:
+                out[name] = walk(child)
+        return out
+
+    return walk(tree)
+
+
+def quantized_config(cfg):
+    """ModelConfig -> same config with int8 weight declarations in both
+    towers (pair with quantize_int8(params) when building a runner)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg,
+        text=dataclasses.replace(cfg.text, weight_quant="int8"),
+        vision=dataclasses.replace(cfg.vision, weight_quant="int8"),
+    )

@@ -1,0 +1,95 @@
+"""Weight-only int8 quantization: accuracy, size, pipeline, sharding.
+
+Replaces the reference's bitsandbytes 8/4-bit builder path
+(llava/model/builder.py) — on TPU the win is fitting 7B on a 16 GB chip.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from glimpseprune_tpu.config import tiny_test_config
+from glimpseprune_tpu.models.qwen2_5_vl.runner import GlimpsePruneRunner
+from glimpseprune_tpu.quantization import (
+    dequantize_int8,
+    quantize_int8,
+    quantized_bytes,
+    quantized_config,
+)
+
+from test_training import build_batch, init_params
+
+
+def _flat_paths(tree):
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {"/".join(str(getattr(k, "key", k)) for k in p) for p, _ in flat}
+
+
+def test_quantize_structure_and_roundtrip():
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(0)
+    prep, _ = build_batch(cfg, rng, with_labels=False)
+    _, params = init_params(cfg, prep)
+
+    qparams = quantize_int8(params)
+    paths = _flat_paths(qparams)
+    assert any(p.endswith("self_attn/q_proj/kernel_q") for p in paths)
+    assert any(p.endswith("mlp/down_proj/kernel_scale") for p in paths)
+    # non-targets untouched
+    assert any("lm_head/kernel" in p for p in paths)
+    assert not any("lm_head/kernel_q" in p for p in paths)
+
+    # int8 shrinks the targeted stacks
+    assert quantized_bytes(qparams) < quantized_bytes(params)
+
+    # idempotent
+    q2 = quantize_int8(qparams)
+    assert _flat_paths(q2) == paths
+
+    # round-trip error bounded by one quantization step per channel
+    deq = dequantize_int8(qparams, dtype=jnp.float32)
+    w = np.asarray(params["text"]["layers"]["mlp"]["gate_proj"]["kernel"], np.float32)
+    w2 = np.asarray(deq["text"]["layers"]["mlp"]["gate_proj"]["kernel"], np.float32)
+    step = np.abs(w).max(axis=-2, keepdims=True) / 127.0
+    assert (np.abs(w - w2) <= step * 0.51 + 1e-6).all()
+
+
+def test_quantized_pipeline_close_to_fp():
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(1)
+    prep, _ = build_batch(cfg, rng, with_labels=False)
+    _, params = init_params(cfg, prep)
+
+    out_fp = GlimpsePruneRunner(cfg, params).glimpse(prep)
+    out_q = GlimpsePruneRunner(quantized_config(cfg), quantize_int8(params)).glimpse(prep)
+
+    a = np.asarray(out_fp.logits, np.float64).reshape(-1)
+    b = np.asarray(out_q.logits, np.float64).reshape(-1)
+    cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.99, cos
+    # mask logits track closely (keep decisions on a random-init tiny model
+    # flip on near-ties, so compare the scores, not the argsort)
+    ma = np.asarray(out_fp.mask_logits, np.float64).reshape(-1)
+    mb = np.asarray(out_q.mask_logits, np.float64).reshape(-1)
+    mcos = ((ma - ma.mean()) @ (mb - mb.mean())) / (
+        np.linalg.norm(ma - ma.mean()) * np.linalg.norm(mb - mb.mean()) + 1e-12
+    )
+    assert mcos > 0.95, mcos
+    agree = (np.asarray(out_fp.keep_img) == np.asarray(out_q.keep_img)).mean()
+    assert agree > 0.7, agree
+
+
+def test_quantized_params_shard():
+    from glimpseprune_tpu.parallel.mesh import make_mesh, shard_params
+
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(2)
+    prep, _ = build_batch(cfg, rng, with_labels=False)
+    _, params = init_params(cfg, prep)
+    qparams = quantize_int8(params)
+    mesh = make_mesh(model_axis=2)
+    sharded = shard_params(qparams, mesh)
+    kq = sharded["text"]["layers"]["self_attn"]["q_proj"]["kernel_q"]
+    assert kq.dtype == jnp.int8
+    assert "model" in str(kq.sharding.spec)
