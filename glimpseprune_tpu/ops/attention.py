@@ -103,13 +103,30 @@ def batched_window_attention(
     """
     p, h, d = q.shape
     nw = p // wp
-    qw = q.reshape(nw, wp, h, d).transpose(0, 2, 1, 3)  # [nw, H, wp, D]
-    kw = k.reshape(nw, wp, h, d).transpose(0, 2, 1, 3)
-    vw = v.reshape(nw, wp, h, d).transpose(0, 2, 1, 3)
+    if ATTENTION_IMPL != "xla" and (
+        ATTENTION_IMPL == "flash_interpret" or jax.default_backend() == "tpu"
+    ):
+        # fused Pallas kernel: one VMEM-resident program per window (the XLA
+        # einsum path is latency-bound: ~15ms over the ViT for ~2 GFLOP)
+        from glimpseprune_tpu.ops.pallas.window_attention import window_attention
+
+        return window_attention(
+            q, k, v, valid, wp, interpret=ATTENTION_IMPL == "flash_interpret"
+        )
+    # layout-preserving einsums: stay in [nw, wp, H, D] end to end (six
+    # explicit transposes per block cost ~3ms across the ViT at bench shapes)
+    qw = q.reshape(nw, wp, h, d)
+    kw = k.reshape(nw, wp, h, d)
+    vw = v.reshape(nw, wp, h, d)
     vmask = valid.reshape(nw, wp)
     allowed = vmask[:, None, :] | jnp.eye(wp, dtype=bool)[None]  # [nw, wp, wp]
-    out = _softmax_attend(qw, kw, vw, allowed[:, None])
-    return out.transpose(0, 2, 1, 3).reshape(p, h, d)
+    scale = 1.0 / jnp.sqrt(jnp.float32(d))
+    logits = jnp.einsum("wqhd,wkhd->whqk", qw, kw,
+                        preferred_element_type=jnp.float32) * scale
+    logits = jnp.where(allowed[:, None], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("whqk,wkhd->wqhd", probs.astype(vw.dtype), vw)
+    return out.reshape(p, h, d)
 
 
 def causal_segment_attention(

