@@ -77,6 +77,9 @@ class TextConfig:
     attention_bias: bool = True
     # "none" | "int8": weight-only quantization of the layer stack
     weight_quant: str = "none"
+    # rematerialize decoder layers in the backward pass (training-memory
+    # knob; inference cost is zero — remat only changes the VJP)
+    remat: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "mrope_section", _tupled(self.mrope_section))

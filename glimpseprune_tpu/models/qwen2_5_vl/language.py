@@ -256,6 +256,11 @@ class TextDecoder(nn.Module):
             xc, k, v, sel_q = _layer_prefill(cfg, pl, xc, cos, sin, valid, q_index, dtype)
             return xc, (k, v, sel_q)
 
+        if cfg.remat:
+            # training: rematerialize each layer in the backward pass instead
+            # of storing activations for the full depth — the standard
+            # FLOPs-for-HBM trade (3B glimpse train step OOMs at 16GB without)
+            body = jax.checkpoint(body)
         layer_idx = jnp.arange(layer_start, layer_end + 1)
         x, (ks, vs, sel_qs) = jax.lax.scan(body, x, (layer_idx, le_sl))
 

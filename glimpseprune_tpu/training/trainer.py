@@ -133,6 +133,16 @@ class GPTrainer:
         tcfg: Optional[TrainerConfig] = None,
         collate: Optional[Callable] = None,
     ):
+        # training always remats decoder layers: the 3B glimpse train step
+        # needs >16GB HBM without it; remat only changes the VJP so the
+        # forward/eval cost is unchanged
+        if not cfg.text.remat:
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, text=dataclasses.replace(cfg.text, remat=True)
+            )
+            model = model.clone(cfg=cfg)  # keeps family-specific fields
         self.cfg = cfg
         self.model = model
         self.dataset = dataset

@@ -118,3 +118,32 @@ def test_train_step_learns_masks():
         lambda a, b: float(jnp.abs(a - b).max()), t0, state.trainable
     )
     assert max(jax.tree_util.tree_leaves(changed)) > 0
+
+
+def test_remat_matches_no_remat():
+    """cfg.text.remat changes only the backward memory plan, not values."""
+    import dataclasses
+    import optax
+    from glimpseprune_tpu.training.train_step import make_train_step, init_train_state
+
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(5)
+    prep, batch = build_batch(cfg, rng)
+    _, params = init_params(cfg, prep)
+    opt = optax.sgd(1e-2)
+
+    outs = []
+    for remat in (False, True):
+        c = dataclasses.replace(cfg, text=dataclasses.replace(cfg.text, remat=remat))
+        model = Qwen2_5_VL_GP(c)
+        state, frozen = init_train_state(params, opt)
+        step = jax.jit(make_train_step(c, model, opt))
+        state, metrics = step(state, frozen, batch, jax.random.PRNGKey(0))
+        outs.append((state, metrics))
+    np.testing.assert_allclose(
+        float(outs[0][1]["loss"]), float(outs[1][1]["loss"]), rtol=1e-6
+    )
+    a = jax.tree_util.tree_leaves(outs[0][0].trainable)
+    b = jax.tree_util.tree_leaves(outs[1][0].trainable)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-6)
