@@ -12,6 +12,10 @@ Example:
       --out-dir results/gqa
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import json
 import os

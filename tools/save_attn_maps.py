@@ -7,6 +7,10 @@ PNG per (layer, head|mean) with the attention over image tokens blended onto
 the input image.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import os
 

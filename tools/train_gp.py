@@ -8,6 +8,10 @@ Example:
 YAML config keys mirror TrainerConfig fields plus GP model knobs.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 
 
