@@ -256,11 +256,23 @@ def run(scale: str):
 
 
 def main():
-    scale = os.environ.get("BENCH_SCALE", "3b")
+    # default = the reference's flagship 7B (int8 so it fits one chip);
+    # fall back through smaller shapes on tunnel/compile failures
+    scale = os.environ.get("BENCH_SCALE", "7b")
+    if scale == "7b" and not os.environ.get("BENCH_QUANT"):
+        os.environ["BENCH_QUANT"] = "int8"
     try:
         result = run(scale)
     except Exception as e:  # OOM etc: fall back to the smaller shape
-        if scale in ("3b", "7b"):
+        if scale == "7b":
+            sys.stderr.write(f"7b bench failed ({type(e).__name__}: {e}); retrying 3b\n")
+            os.environ.pop("BENCH_QUANT", None)
+            try:
+                result = run("3b")
+            except Exception as e2:
+                sys.stderr.write(f"3b bench failed ({type(e2).__name__}: {e2}); retrying 1b\n")
+                result = run("1b")
+        elif scale == "3b":
             sys.stderr.write(f"{scale} bench failed ({type(e).__name__}: {e}); retrying 1b\n")
             result = run("1b")
         else:

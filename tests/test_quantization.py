@@ -93,3 +93,41 @@ def test_quantized_params_shard():
     kq = sharded["text"]["layers"]["self_attn"]["q_proj"]["kernel_q"]
     assert kq.dtype == jnp.int8
     assert "model" in str(kq.sharding.spec)
+
+
+def test_llava_quantized_decoder():
+    """int8 quantizes the Llama stack under LLaVA too (CLIP tower untouched:
+    its kernels live under visual/layers_*, outside DEFAULT_INCLUDE)."""
+    from test_llava import tiny_clip_cfg, tiny_llava_config
+    from glimpseprune_tpu.models.llava.gp_model import Llava_GP
+    from glimpseprune_tpu.models.llava.runner import prepare_llava_inputs
+
+    cfg, cc = tiny_llava_config(), tiny_clip_cfg()
+    rng = np.random.default_rng(7)
+    prompts = [[7, 8, cfg.image_token_id, 9, 10]]
+    images = [rng.integers(0, 255, (64, 48, 3), dtype=np.uint8)]
+    prep = prepare_llava_inputs(cfg, cc, prompts, images, seq_multiple=8)
+    model = Llava_GP(cfg, clip_cfg=cc)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(prep.input_ids), jnp.asarray(prep.valid),
+        jnp.asarray(prep.position_ids), jnp.asarray(prep.patches),
+        jnp.asarray(prep.vis_pos_ids), jnp.asarray(prep.full_seg),
+        jnp.asarray(prep.vis_valid), jnp.asarray(prep.packed_idx),
+        jnp.asarray(prep.img_slots), jnp.asarray(prep.img_valid),
+        jnp.asarray(prep.fuser.window_index), jnp.asarray(prep.fuser.reverse_index),
+        jnp.asarray(prep.fuser.segment_ids), jnp.asarray(prep.fuser.pos_ids),
+        jnp.asarray(prep.le_start), prep.out_len,
+    )["params"]
+    qparams = quantize_int8(params)
+    paths = _flat_paths(qparams)
+    assert any(p.endswith("text/layers/mlp/down_proj/kernel_q") for p in paths)
+    assert not any("visual" in p and p.endswith("kernel_q") for p in paths)
+
+    from glimpseprune_tpu.models.llava.runner import make_llava_runner
+
+    qcfg = quantized_config(cfg)
+    qrunner = make_llava_runner(qcfg, cc, qparams)
+    # CLIP tower declares no stacked quant structure; only text flips
+    out = qrunner.glimpse(prep)
+    assert np.isfinite(np.asarray(out.logits)).all()
