@@ -22,6 +22,10 @@ GP modules, norms, biases, and embeddings stay in bf16/f32 (they are
 Sharding: `kernel_q` inherits the kernel's PartitionSpec via the
 `kernel(_q)?` rules in parallel/mesh.py; `kernel_scale` is replicated
 (tiny) and broadcasts across output shards under GSPMD.
+
+Limitation: LoRA (training/lora.py) targets fp `kernel` leaves — train
+adapters on the bf16 base, then quantize for serving (QLoRA-style
+training over an int8 base is future work).
 """
 
 from __future__ import annotations
