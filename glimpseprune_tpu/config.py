@@ -80,6 +80,9 @@ class TextConfig:
     # rematerialize decoder layers in the backward pass (training-memory
     # knob; inference cost is zero — remat only changes the VJP)
     remat: bool = False
+    # >0 declares in-scan LoRA slots on every decoder linear (GRPO policy
+    # model; see training/lora.insert_lora)
+    lora_rank: int = 0
 
     def __post_init__(self):
         object.__setattr__(self, "mrope_section", _tupled(self.mrope_section))

@@ -46,7 +46,11 @@ def _dense(x, p, dtype):
         w = p["kernel_q"].astype(dtype) * p["kernel_scale"].astype(dtype)
     else:
         w = p["kernel"].astype(dtype)
-    y = x.astype(dtype) @ w
+    x = x.astype(dtype)
+    y = x @ w
+    if "lora_a" in p:
+        # in-scan LoRA (training/lora.insert_lora): no merged kernel copy
+        y = y + (x @ p["lora_a"].astype(dtype)) @ p["lora_b"].astype(dtype)
     if "bias" in p:
         y = y + p["bias"].astype(dtype)
     return y
@@ -133,6 +137,11 @@ def _init_layer_stack(cfg: TextConfig, param_dtype):
 
         def dense(key, fan_in, fan_out, bias):
             d = {"kernel": lecun(key, (L, fan_in, fan_out))}
+            if cfg.lora_rank > 0:
+                # in-scan LoRA slots (training/lora.insert_lora); zeros = off
+                r = cfg.lora_rank
+                d["lora_a"] = jnp.zeros((L, fan_in, r), jnp.float32)
+                d["lora_b"] = jnp.zeros((L, r, fan_out), jnp.float32)
             if bias:
                 d["bias"] = jnp.zeros((L, fan_out), param_dtype)
             return d

@@ -170,10 +170,13 @@ def make_grpo_loss_step(model, optimizer, reward_weight: float = 1.0,
     teacher-force over the pruned prompt via completion_logits."""
     import optax
 
-    from glimpseprune_tpu.training.lora import apply_lora
+    from glimpseprune_tpu.training.lora import insert_lora
 
     def loss_fn(lora, frozen, batch: GRPOBatch):
-        params = apply_lora(frozen, lora)
+        # per-layer adapter application inside the decoder scan — merging
+        # (apply_lora) materializes a second full kernel stack and OOMs the
+        # 3B GRPO step on one 16GB chip
+        params = insert_lora(frozen, lora)
         logps = _completion_logps(model, params, batch)
         cmask = batch.completion_valid.astype(jnp.float32)
         reward_loss = grpo_surrogate(logps, batch.advantages, cmask)
@@ -240,8 +243,16 @@ class GRPOTrainer:
         self.lora = make_lora_params(self.frozen, rank=lora_rank, seed=seed)
         self.optimizer = optax.adamw(learning_rate)
         self.opt_state = self.optimizer.init(self.lora)
+        # policy model declares in-scan LoRA slots (+ remat for the backward)
+        import dataclasses
+
+        pcfg = dataclasses.replace(
+            cfg, text=dataclasses.replace(cfg.text, lora_rank=lora_rank, remat=True)
+        )
+        self.policy_model = self.model.clone(cfg=pcfg)
         self.step_fn = jax.jit(
-            make_grpo_loss_step(self.model, self.optimizer, reward_weight, kd_weight)
+            make_grpo_loss_step(self.policy_model, self.optimizer,
+                                reward_weight, kd_weight)
         )
         self.seed = seed
 

@@ -84,5 +84,36 @@ def apply_lora(
     return jax.tree_util.tree_map_with_path(visit, frozen)
 
 
+def insert_lora(
+    frozen: Dict[str, Any],
+    lora: Optional[Dict[str, Any]],
+    scale: float = 1.0,
+) -> Dict[str, Any]:
+    """Attach adapters as `lora_a`/`lora_b` leaves next to their kernels.
+
+    Unlike `apply_lora` (which materializes a full merged kernel stack — an
+    extra 6.2 GB at 3B, the difference between the GRPO step fitting one
+    chip or not), the adapted matmul happens per layer inside the decoder
+    scan: `_dense` computes y += (x @ a) @ b whenever the leaves are present.
+    Requires a model built with cfg.text.lora_rank > 0 so flax declares the
+    structure. `scale` is folded into b."""
+    if not lora:
+        return frozen
+
+    def walk(node, prefix):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for name, child in node.items():
+            path = f"{prefix}/{name}" if prefix else name
+            out[name] = walk(child, path)
+            if name == "kernel" and path in lora:
+                out["lora_a"] = lora[path]["a"]
+                out["lora_b"] = lora[path]["b"] * scale
+        return out
+
+    return walk(frozen, "")
+
+
 def lora_param_count(lora: Dict[str, Any]) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(lora))

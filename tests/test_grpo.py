@@ -153,3 +153,36 @@ def test_grpo_trainer_mask_mixing():
     )
     m = trainer.step_on_batch(samples, load_image, jax.random.PRNGKey(1))
     assert np.isfinite(m["grpo_total"])
+
+
+def test_insert_lora_matches_apply_lora():
+    """In-scan adapters == merged-kernel adapters on real pipeline logits."""
+    import dataclasses
+    from glimpseprune_tpu.training.lora import apply_lora, insert_lora
+    from glimpseprune_tpu.models.qwen2_5_vl.gp_model import Qwen2_5_VL_GP
+
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(4)
+    prep, _ = build_batch(cfg, rng, with_labels=False)
+    _, params = init_params(cfg, prep)
+    lora = make_lora_params(params, rank=3, seed=1)
+    # nonzero adapters so the paths actually differ from the base
+    lora = jax.tree_util.tree_map(lambda x: x + 0.01, lora)
+
+    merged_runner = GlimpsePruneRunner(cfg, apply_lora(params, lora))
+    out_merged = merged_runner.glimpse(prep)
+
+    pcfg = dataclasses.replace(
+        cfg, text=dataclasses.replace(cfg.text, lora_rank=3)
+    )
+    model = Qwen2_5_VL_GP(pcfg)
+    inserted_runner = GlimpsePruneRunner(pcfg, insert_lora(params, lora), model=model)
+    out_inserted = inserted_runner.glimpse(prep)
+
+    np.testing.assert_allclose(
+        np.asarray(out_inserted.logits), np.asarray(out_merged.logits),
+        rtol=2e-4, atol=2e-4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_inserted.keep_img), np.asarray(out_merged.keep_img)
+    )
