@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-DEFAULT_TARGETS = r"text/layers/(self_attn/(q_proj|k_proj|v_proj|o_proj)|mlp/(gate_proj|up_proj|down_proj))/kernel"
+DEFAULT_TARGETS = r"text/layers/(self_attn/(q_proj|k_proj|v_proj|o_proj)|mlp/(gate_proj|up_proj|down_proj))/kernel(_q)?"
 
 
 def _path_str(path) -> str:
@@ -41,6 +41,7 @@ def make_lora_params(
     def visit(path, leaf):
         p = _path_str(path)
         if pattern.fullmatch(p) and leaf.ndim in (2, 3):
+            p = p.removesuffix("_q")  # int8 base (QLoRA): adapters stay fp
             if leaf.ndim == 2:
                 fan_in, fan_out = leaf.shape
                 a_shape, b_shape = (fan_in, rank), (rank, fan_out)
@@ -64,7 +65,9 @@ def apply_lora(
     lora: Optional[Dict[str, Any]],
     scale: float = 1.0,
 ) -> Dict[str, Any]:
-    """Materialize adapted params: kernel + scale * A @ B at adapted paths."""
+    """Materialize adapted params: kernel + scale * A @ B at adapted paths.
+
+    fp kernels only — for an int8 base use insert_lora (QLoRA-style)."""
     if not lora:
         return frozen
 
@@ -107,9 +110,12 @@ def insert_lora(
         for name, child in node.items():
             path = f"{prefix}/{name}" if prefix else name
             out[name] = walk(child, path)
-            if name == "kernel" and path in lora:
-                out["lora_a"] = lora[path]["a"]
-                out["lora_b"] = lora[path]["b"] * scale
+            if name in ("kernel", "kernel_q"):
+                # int8 base (QLoRA): lora keys are the fp kernel paths
+                kpath = path.removesuffix("_q")
+                if kpath in lora:
+                    out["lora_a"] = lora[kpath]["a"]
+                    out["lora_b"] = lora[kpath]["b"] * scale
         return out
 
     return walk(frozen, "")

@@ -131,3 +131,38 @@ def test_llava_quantized_decoder():
     # CLIP tower declares no stacked quant structure; only text flips
     out = qrunner.glimpse(prep)
     assert np.isfinite(np.asarray(out.logits)).all()
+
+
+def test_qlora_int8_base_plus_inscan_lora():
+    """QLoRA: int8 frozen base + fp in-scan adapters (7B GlimpsePrune+ on
+    one chip). Adapters attach at kernel_q paths; zero-B == base exactly."""
+    import dataclasses
+    from glimpseprune_tpu.models.qwen2_5_vl.gp_model import Qwen2_5_VL_GP
+    from glimpseprune_tpu.training.lora import insert_lora, make_lora_params
+
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(9)
+    prep, _ = build_batch(cfg, rng, with_labels=False)
+    _, params = init_params(cfg, prep)
+    qparams = quantize_int8(params)
+    lora = make_lora_params(qparams, rank=2)
+    assert len(lora) == 7  # all decoder linears matched through kernel_q
+
+    qlcfg = quantized_config(cfg)
+    qlcfg = dataclasses.replace(
+        qlcfg, text=dataclasses.replace(qlcfg.text, lora_rank=2)
+    )
+    model = Qwen2_5_VL_GP(qlcfg)
+    base = GlimpsePruneRunner(quantized_config(cfg), qparams).glimpse(prep)
+    ql = GlimpsePruneRunner(qlcfg, insert_lora(qparams, lora), model=model)
+    out0 = ql.glimpse(prep)
+    # B starts at zero -> adapters are inert
+    np.testing.assert_allclose(
+        np.asarray(out0.logits), np.asarray(base.logits), rtol=1e-5, atol=1e-5
+    )
+    # nonzero B changes the output
+    lora2 = jax.tree_util.tree_map(lambda x: x + 0.05, lora)
+    out1 = GlimpsePruneRunner(
+        qlcfg, insert_lora(qparams, lora2), model=model
+    ).glimpse(prep)
+    assert not np.allclose(np.asarray(out1.logits), np.asarray(base.logits))
