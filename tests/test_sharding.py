@@ -58,3 +58,26 @@ def test_sharded_train_step_runs():
     state, metrics = step_fn(state, frozen, batch_sh, jax.random.PRNGKey(0))
     loss = float(metrics["loss"])
     assert np.isfinite(loss)
+
+
+def test_sharded_int8_generate_matches_single_device():
+    """Quantized (kernel_q/scale) trees shard by the same rules and generate
+    identically across the mesh — the multi-chip serving path for 7B+."""
+    from glimpseprune_tpu.quantization import quantize_int8, quantized_config
+
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(1)
+    prep, _ = build_batch(cfg, rng, with_labels=False)
+    _, params = init_params(cfg, prep)
+    qcfg = quantized_config(cfg)
+    qparams = quantize_int8(params)
+
+    res_single = GlimpsePruneRunner(qcfg, qparams).generate(prep, max_new_tokens=4)
+    mesh = make_mesh(8, model_axis=2)
+    res_sharded = GlimpsePruneRunner(qcfg, shard_params(qparams, mesh)).generate(
+        prep, max_new_tokens=4
+    )
+    np.testing.assert_array_equal(res_single.sequences, res_sharded.sequences)
+    np.testing.assert_allclose(
+        res_single.mask_logits, res_sharded.mask_logits, rtol=1e-4, atol=1e-4
+    )

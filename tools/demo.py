@@ -90,6 +90,8 @@ def main():
     ap.add_argument("--no-selection", action="store_true")
     ap.add_argument("--max-new-tokens", type=int, default=128)
     ap.add_argument("--overlay", default=None, help="write dimmed-mask PNG here")
+    ap.add_argument("--int8", action="store_true",
+                    help="weight-only int8 serving (7B fits one 16GB chip)")
     args = ap.parse_args()
 
     from PIL import Image
@@ -114,6 +116,12 @@ def main():
 
             params, loaded_cfg = load_new_modules(params, args.new_modules)
             cfg = loaded_cfg.replace_gp(**gp_overrides)
+
+    if args.int8:
+        from glimpseprune_tpu.quantization import quantize_int8, quantized_config
+
+        params = quantize_int8(params)
+        cfg = quantized_config(cfg)
 
     image = np.asarray(Image.open(args.image).convert("RGB"))
     prompt = (
