@@ -114,3 +114,25 @@ def test_full_params_roundtrip(tmp_path):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_full_params_int8_roundtrip(tmp_path):
+    """Quantized (int8 + scale) trees persist through orbax unchanged."""
+    import jax
+    from glimpseprune_tpu.persistence import load_full_params, save_full_params
+    from glimpseprune_tpu.quantization import quantize_int8
+
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(11)
+    prep, _ = build_batch(cfg, rng, with_labels=False)
+    _, params = init_params(cfg, prep)
+    qparams = quantize_int8(params)
+    save_full_params(qparams, str(tmp_path))
+    loaded = load_full_params(str(tmp_path))
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(qparams)[0],
+        jax.tree_util.tree_flatten_with_path(loaded)[0],
+    ):
+        assert pa == pb
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
