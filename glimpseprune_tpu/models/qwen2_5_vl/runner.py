@@ -24,7 +24,7 @@ from glimpseprune_tpu.config import ModelConfig
 from glimpseprune_tpu.gp.fuser import FuserGeometry, build_fuser_geometry
 from glimpseprune_tpu.models.qwen2_5_vl.gp_model import GlimpseOutputs, Qwen2_5_VL_GP
 from glimpseprune_tpu.preprocessing import build_vision_geometry, get_rope_index
-from glimpseprune_tpu.utils.profiling import time_logger
+from glimpseprune_tpu.utils.profiling import debug_calls, time_logger
 
 
 def _round_up(x: int, m: int) -> int:
@@ -657,6 +657,7 @@ class GlimpsePruneRunner:
                                 anchor_mask)
 
     @time_logger
+    @debug_calls()
     def glimpse(self, prep: PreparedInputs, use_ref_masks: bool = False) -> GlimpseOutputs:
         """Mask-only fast path (reference `do_glimpse`, SURVEY.md §3.2)."""
         inputs = self._device_inputs(prep, use_ref_masks)
@@ -666,6 +667,7 @@ class GlimpsePruneRunner:
         )
 
     @time_logger
+    @debug_calls()
     def generate(
         self,
         prep: PreparedInputs,

@@ -14,10 +14,11 @@ managers, stats registry dump for eval info.json artifacts.
 from __future__ import annotations
 
 import functools
+import os
 import threading
 import time
 from collections import defaultdict
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 
@@ -151,3 +152,54 @@ def memory_logger(fn):
         return out
 
     return wrapper
+
+
+def debug_calls(every_n: Optional[int] = None, prefix: str = ""):
+    """Print every Nth call's args summary, gated by env DEBUG_CALLS_N
+    (reference warppers.py:15-114 `@debug_calls`; used there for RL sample
+    logging). N resolves at call time: decorator arg > env var > off."""
+
+    def deco(fn):
+        counter = {"n": 0}
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            n = every_n or int(os.environ.get("DEBUG_CALLS_N", "0") or 0)
+            if n > 0:
+                counter["n"] += 1
+                if counter["n"] % n == 0:
+                    parts = [
+                        f"{type(a).__name__}{getattr(a, 'shape', '')}" for a in args
+                    ]
+                    print(
+                        f"[debug_calls]{prefix} {fn.__qualname__} "
+                        f"#{counter['n']} ({', '.join(parts[:6])})"
+                    )
+            return fn(*args, **kwargs)
+
+        return wrapper
+
+    return deco
+
+
+class profiler_trace:
+    """Context manager writing a jax.profiler trace (TensorBoard/XProf format)
+    when `log_dir` is truthy; no-op otherwise — the TPU-native replacement for
+    the reference's CUDA-event timing when a full timeline is wanted."""
+
+    def __init__(self, log_dir: Optional[str]):
+        self.log_dir = log_dir
+
+    def __enter__(self):
+        if self.log_dir:
+            import jax
+
+            jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        if self.log_dir:
+            import jax
+
+            jax.profiler.stop_trace()
+        return False

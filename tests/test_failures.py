@@ -48,3 +48,37 @@ def test_assert_finite():
         assert_finite({"a": np.array([1.0, np.nan])}, "bad")
     assert is_oom_error(RuntimeError("RESOURCE_EXHAUSTED: x"))
     assert not is_oom_error(RuntimeError("other"))
+
+
+def test_debug_calls_and_profiler_trace(capsys, tmp_path, monkeypatch):
+    import numpy as np
+    from glimpseprune_tpu.utils.profiling import debug_calls, profiler_trace
+
+    @debug_calls(every_n=2)
+    def f(x):
+        return x + 1
+
+    for _ in range(4):
+        f(np.zeros((2, 3)))
+    out = capsys.readouterr().out
+    assert out.count("[debug_calls]") == 2 and "ndarray(2, 3)" in out
+
+    # env-gated path off by default
+    @debug_calls()
+    def g(x):
+        return x
+
+    g(1)
+    assert "[debug_calls]" not in capsys.readouterr().out
+    monkeypatch.setenv("DEBUG_CALLS_N", "1")
+    g(1)
+    assert "[debug_calls]" in capsys.readouterr().out
+
+    # trace writes something under log_dir; None is a no-op
+    import jax.numpy as jnp
+    with profiler_trace(str(tmp_path)):
+        jnp.ones(8).sum().block_until_ready()
+    import os
+    assert any(os.scandir(tmp_path))
+    with profiler_trace(None):
+        pass
