@@ -103,10 +103,87 @@ def _pad_to(x, axis, mult, value=0):
     return jnp.pad(x, widths, constant_values=value)
 
 
+def _reference_attention(q, k, v, q_segment_ids, kv_segment_ids, causal, sm_scale):
+    """XLA einsum reference used by the backward pass (identical math)."""
+    hq, hkv = q.shape[1], k.shape[1]
+    if hq != hkv:
+        k = jnp.repeat(k, hq // hkv, axis=1)
+        v = jnp.repeat(v, hq // hkv, axis=1)
+    logits = jnp.einsum(
+        "bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32
+    ) * sm_scale
+    qs = q_segment_ids[:, None, :, None]
+    ks = kv_segment_ids[:, None, None, :]
+    allowed = (qs == ks) & (qs >= 0)
+    if causal:
+        sq, skv = q.shape[2], k.shape[2]
+        allowed = allowed & (
+            jnp.arange(sq)[None, None, :, None] >= jnp.arange(skv)[None, None, None, :]
+        )
+    logits = jnp.where(allowed, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jnp.where(allowed.any(-1, keepdims=True), probs, 0.0)
+    return jnp.einsum("bhst,bhtd->bhsd", probs.astype(v.dtype), v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_attention_diff(q, k, v, qseg, kseg, causal, sm_scale, block_q, block_k,
+                          interpret):
+    return _flash_attention_impl(q, k, v, qseg, kseg, causal=causal,
+                                 sm_scale=sm_scale, block_q=block_q,
+                                 block_k=block_k, interpret=interpret)
+
+
+def _flash_fwd(q, k, v, qseg, kseg, causal, sm_scale, block_q, block_k, interpret):
+    out = _flash_attention_impl(q, k, v, qseg, kseg, causal=causal,
+                                sm_scale=sm_scale, block_q=block_q,
+                                block_k=block_k, interpret=interpret)
+    return out, (q, k, v, qseg, kseg)
+
+
+def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, res, g):
+    # recompute-and-differentiate the XLA reference: exact gradients, O(S^2)
+    # logits appear only transiently per layer (the decoder scan remats
+    # layer-by-layer, so training peak stays bounded). A dedicated pallas
+    # backward kernel is the long-sequence upgrade path.
+    q, k, v, qseg, kseg = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _reference_attention(q_, k_, v_, qseg, kseg, causal,
+                                                sm_scale),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    import numpy as _np
+
+    zq = _np.zeros(qseg.shape, dtype=jax.dtypes.float0)
+    zk = _np.zeros(kseg.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, zq, zk
+
+
+_flash_attention_diff.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q, k, v, q_segment_ids, kv_segment_ids,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+):
+    """Differentiable wrapper: pallas kernel forward, XLA-reference backward
+    (custom VJP — pallas_call has no autodiff rule)."""
+    if sm_scale is None:
+        sm_scale = 1.0 / (q.shape[-1] ** 0.5)
+    return _flash_attention_diff(q, k, v, q_segment_ids, kv_segment_ids,
+                                 causal, float(sm_scale), block_q, block_k,
+                                 interpret)
+
+
 @functools.partial(
     jax.jit, static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret")
 )
-def flash_attention(
+def _flash_attention_impl(
     q: jnp.ndarray,       # [B, Hq, Sq, D]
     k: jnp.ndarray,       # [B, Hkv, Skv, D]
     v: jnp.ndarray,

@@ -128,3 +128,34 @@ def test_window_attention_kernel_matches_xla():
     finally:
         A.set_attention_impl("auto")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_attention_gradients_match_reference():
+    """Custom VJP: pallas forward, XLA-reference backward — exact grads.
+    Training at S >= 512 differentiates through the flash path."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from glimpseprune_tpu.ops.pallas.flash_attention import (
+        _reference_attention,
+        flash_attention,
+    )
+
+    rng = np.random.default_rng(2)
+    B, Hq, Hkv, S, D = 1, 4, 2, 640, 32
+    q = jnp.asarray(rng.normal(size=(B, Hq, S, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    seg = jnp.zeros((B, S), jnp.int32).at[:, -64:].set(-1)
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, seg, seg, causal=True,
+                                interpret=True) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (_reference_attention(q, k, v, seg, seg, True, D ** -0.5) ** 2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
