@@ -53,6 +53,16 @@ def cot_bench_mapper(one: Dict[str, Any], img_dir: str, brief: bool = True,
     if brief:
         query = COT_BRIEF_PROMPT.format(query)
     img_path = os.path.join(img_dir, one["image"][0])
+    if not os.path.isfile(img_path):
+        # reference fallback: some datasets store images under a val/
+        # subfolder (infer_cot.py:233-236 inserts "val" at component 3)
+        parts = img_path.split("/")
+        if len(parts) > 3:
+            alt = os.path.join(*parts[:3], "val", *parts[3:])
+            if img_path.startswith("/"):
+                alt = "/" + alt
+            if os.path.isfile(alt):
+                img_path = alt
     bboxes = None
     if use_box and len(one.get("image", [])) > 1 and "###" in one["image"][1]:
         bbox = ast.literal_eval(one["image"][1].split("###")[1])

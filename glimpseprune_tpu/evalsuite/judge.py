@@ -37,14 +37,23 @@ def extract_score(text: str) -> float:
 
 
 class LLMClient:
-    """Minimal chat-completions client; score() mirrors the reference API."""
+    """Minimal chat-completions client; score() mirrors the reference API.
+
+    Scoring fans out over a thread pool (`concurrency`): the reference's
+    judge endpoint is served by vLLM which batches concurrent requests
+    (reference test_api.py:17-60 load-tests exactly this; the serial
+    python-loop path in cal_cot_score.py is its bottleneck). Order of the
+    returned scores always matches the input order.
+    """
 
     def __init__(self, base_url: str, api_key: str = "EMPTY",
-                 model_name: str = "judge", timeout: float = 20.0):
+                 model_name: str = "judge", timeout: float = 20.0,
+                 concurrency: int = 16):
         self.base_url = base_url.rstrip("/")
         self.api_key = api_key
         self.model_name = model_name
         self.timeout = timeout
+        self.concurrency = max(int(concurrency), 1)
 
     def chat(self, messages: Sequence[dict], temperature: float = 0.0) -> str:
         body = json.dumps(
@@ -62,20 +71,26 @@ class LLMClient:
             data = json.loads(resp.read())
         return data["choices"][0]["message"]["content"]
 
+    def _score_one(self, query: str, answer: str, completion: str) -> float:
+        messages = [
+            {"role": "system", "content": SYS_PROMPT},
+            {"role": "user", "content": PROMPT.format(query, answer, completion)},
+        ]
+        try:
+            return extract_score(self.chat(messages))
+        except Exception:
+            return 0.0  # judge failure -> 0 (reference utils.py:158-161)
+
     def score(
         self,
         query_texts: Sequence[str],
         completion_texts: Sequence[str],
         answer_texts: Sequence[str],
     ) -> List[float]:
-        scores = []
-        for query, answer, completion in zip(query_texts, answer_texts, completion_texts):
-            messages = [
-                {"role": "system", "content": SYS_PROMPT},
-                {"role": "user", "content": PROMPT.format(query, answer, completion)},
-            ]
-            try:
-                scores.append(extract_score(self.chat(messages)))
-            except Exception:
-                scores.append(0.0)  # judge failure -> 0 (reference utils.py:158-161)
-        return scores
+        items = list(zip(query_texts, answer_texts, completion_texts))
+        if len(items) <= 1 or self.concurrency == 1:
+            return [self._score_one(q, a, c) for q, a, c in items]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(self.concurrency, len(items))) as ex:
+            return list(ex.map(lambda t: self._score_one(*t), items))

@@ -1,0 +1,420 @@
+"""Per-benchmark short-form protocols + file-format loaders.
+
+The reference runs ten lmms-eval tasks (scripts/eval_qwen_gp.sh:96-107:
+vqav2_val_lite, gqa, vizwiz_vqa_val, scienceqa_img, pope, mme,
+mmbench_en_test, mmbench_cn_test, seedbench, vstar_bench). lmms-eval is
+torch/accelerate-entangled, so this module reimplements each task's official
+scoring protocol and native file format directly:
+
+- **MME**: per-category accuracy + acc+ (both questions of an image correct),
+  category score = (acc + acc+) * 100, perception/cognition totals over the
+  official category split. Loader for the official per-category txt layout.
+- **MMBench**: option-letter extraction over (hint, question, A-D) prompts,
+  CircularEval grouping — a base question counts only if every circular
+  rotation (index offset by N*1e6 in the official TSV) is answered
+  correctly. TSV loader.
+- **POPE**: yes/no accuracy/precision/recall/F1 + yes-ratio, aggregated
+  overall and per subset (random/popular/adversarial). jsonl loader
+  ({question_id, text, label}).
+- **GQA**: official questions-dict format ({qid: {question, answer,
+  imageId}}), exact-match accuracy after VQA normalization.
+- **VQAv2 / VizWiz**: official 10-annotator consensus accuracy
+  min(#matches/3, 1) with the official answer normalization
+  (contractions, digit words, articles, punctuation).
+- **seedbench / scienceqa_img / vstar**: multiple-choice letter accuracy
+  (shortform.multiple_choice_accuracy).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# --------------------------------------------------------------------------- #
+# VQA-v2 official answer normalization
+# --------------------------------------------------------------------------- #
+
+_CONTRACTIONS = {
+    "aint": "ain't", "arent": "aren't", "cant": "can't", "couldve": "could've",
+    "couldnt": "couldn't", "didnt": "didn't", "doesnt": "doesn't",
+    "dont": "don't", "hadnt": "hadn't", "hasnt": "hasn't", "havent": "haven't",
+    "hed": "he'd", "hes": "he's", "howd": "how'd", "howll": "how'll",
+    "hows": "how's", "im": "i'm", "ive": "i've", "isnt": "isn't",
+    "itd": "it'd", "itll": "it'll", "lets": "let's", "maam": "ma'am",
+    "mightve": "might've", "mustve": "must've", "shant": "shan't",
+    "shed": "she'd", "shes": "she's", "shouldve": "should've",
+    "shouldnt": "shouldn't", "thats": "that's", "theres": "there's",
+    "theyd": "they'd", "theyll": "they'll", "theyre": "they're",
+    "theyve": "they've", "wasnt": "wasn't", "wed": "we'd", "weve": "we've",
+    "werent": "weren't", "whatll": "what'll", "whatre": "what're",
+    "whats": "what's", "whatve": "what've", "whens": "when's",
+    "whered": "where'd", "wheres": "where's", "whereve": "where've",
+    "whod": "who'd", "wholl": "who'll", "whos": "who's", "whove": "who've",
+    "whyll": "why'll", "whyre": "why're", "whys": "why's", "wont": "won't",
+    "wouldve": "would've", "wouldnt": "wouldn't", "yall": "y'all",
+    "youd": "you'd", "youll": "you'll", "youre": "you're", "youve": "you've",
+}
+_DIGIT_MAP = {
+    "none": "0", "zero": "0", "one": "1", "two": "2", "three": "3",
+    "four": "4", "five": "5", "six": "6", "seven": "7", "eight": "8",
+    "nine": "9", "ten": "10",
+}
+_ARTICLES = {"a", "an", "the"}
+_PUNCT = list(";/[]\"{}()=+\\_-><@`,?!") + ["'"]
+_COMMA_STRIP = re.compile(r"(\d)(,)(\d)")
+_PERIOD_STRIP = re.compile(r"(?!<=\d)(\.)(?!\d)")
+
+
+def _process_punctuation(text: str) -> str:
+    out = text
+    for p in _PUNCT:
+        if (p + " " in text or " " + p in text) or (
+            _COMMA_STRIP.search(text) is not None
+        ):
+            out = out.replace(p, "")
+        else:
+            out = out.replace(p, " ")
+    out = _PERIOD_STRIP.sub("", out)
+    return out
+
+
+def _process_digit_article(text: str) -> str:
+    out = []
+    for word in text.lower().split():
+        word = _DIGIT_MAP.get(word, word)
+        if word not in _ARTICLES:
+            out.append(word)
+    for i, word in enumerate(out):
+        if word in _CONTRACTIONS:
+            out[i] = _CONTRACTIONS[word]
+    return " ".join(out)
+
+
+def vqa_normalize(text: str) -> str:
+    """The official VQA-v2 evaluation normalization (punctuation strip,
+    digit-word mapping, article removal, contraction restoration)."""
+    text = (text or "").replace("\n", " ").replace("\t", " ").strip()
+    return _process_digit_article(_process_punctuation(text))
+
+
+def vqav2_accuracy(
+    responses: Sequence[str],
+    gt_answers: Sequence[Sequence[str]],
+) -> float:
+    """Official consensus accuracy: each question has 10 human answers;
+    acc = mean over leave-one-out splits = min(#matches / 3, 1)."""
+    accs = []
+    for resp, answers in zip(responses, gt_answers):
+        r = vqa_normalize(resp)
+        ans = [vqa_normalize(a) for a in answers]
+        if len(ans) >= 10:
+            # official leave-one-annotator-out averaging
+            per = []
+            for i in range(len(ans)):
+                others = ans[:i] + ans[i + 1 :]
+                per.append(min(sum(a == r for a in others) / 3.0, 1.0))
+            accs.append(float(np.mean(per)))
+        else:
+            accs.append(min(sum(a == r for a in ans) / 3.0, 1.0))
+    return float(np.mean(accs)) if accs else 0.0
+
+
+# --------------------------------------------------------------------------- #
+# MME
+# --------------------------------------------------------------------------- #
+
+MME_PERCEPTION_CATEGORIES = (
+    "existence", "count", "position", "color", "posters", "celebrity",
+    "scene", "landmark", "artwork", "OCR",
+)
+MME_COGNITION_CATEGORIES = (
+    "commonsense_reasoning", "numerical_calculation", "text_translation",
+    "code_reasoning",
+)
+
+
+@dataclass
+class MMEItem:
+    image_id: str
+    category: str
+    question: str
+    answer: str                      # "Yes" / "No"
+    response: Optional[str] = None
+
+
+def load_mme_dir(root: str) -> List[MMEItem]:
+    """Official MME layout: <root>/<category>/ holds either per-image ``.txt``
+    files (two lines, each "question\\tanswer") next to the images, or a
+    ``questions_answers_YN/`` subfolder with those txts."""
+    items: List[MMEItem] = []
+    for cat in sorted(os.listdir(root)):
+        cdir = os.path.join(root, cat)
+        if not os.path.isdir(cdir):
+            continue
+        qa_dir = os.path.join(cdir, "questions_answers_YN")
+        scan = qa_dir if os.path.isdir(qa_dir) else cdir
+        for fn in sorted(os.listdir(scan)):
+            if not fn.endswith(".txt"):
+                continue
+            with open(os.path.join(scan, fn)) as f:
+                for line in f:
+                    line = line.rstrip("\n")
+                    if not line:
+                        continue
+                    q, _, a = line.partition("\t")
+                    items.append(MMEItem(
+                        image_id=os.path.splitext(fn)[0],
+                        category=cat, question=q, answer=a.strip(),
+                    ))
+    return items
+
+
+def _mme_label(text: str) -> Optional[bool]:
+    t = (text or "").lower()
+    if re.search(r"\byes\b", t):
+        return True
+    if re.search(r"\bno\b", t):
+        return False
+    return None
+
+
+def score_mme(items: Sequence[MMEItem]) -> Dict[str, Any]:
+    """Official MME aggregation: per category acc (per question), acc+ (both
+    questions of an image right), score = (acc + acc+) * 100; perception /
+    cognition totals sum their categories' scores."""
+    by_cat: Dict[str, List[MMEItem]] = {}
+    for it in items:
+        by_cat.setdefault(it.category, []).append(it)
+
+    out: Dict[str, Any] = {"categories": {}}
+    perception = cognition = 0.0
+    for cat, cat_items in sorted(by_cat.items()):
+        correct = 0
+        by_img: Dict[str, List[bool]] = {}
+        for it in cat_items:
+            ok = (
+                _mme_label(it.response) is not None
+                and _mme_label(it.response) == _mme_label(it.answer)
+            )
+            correct += int(ok)
+            by_img.setdefault(it.image_id, []).append(ok)
+        acc = correct / max(len(cat_items), 1)
+        acc_plus = float(np.mean([all(v) for v in by_img.values()])) if by_img else 0.0
+        score = (acc + acc_plus) * 100.0
+        out["categories"][cat] = {
+            "acc": acc, "acc_plus": acc_plus, "score": score,
+            "num_questions": len(cat_items), "num_images": len(by_img),
+        }
+        if cat in MME_PERCEPTION_CATEGORIES:
+            perception += score
+        elif cat in MME_COGNITION_CATEGORIES:
+            cognition += score
+    out["perception_score"] = perception
+    out["cognition_score"] = cognition
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# MMBench
+# --------------------------------------------------------------------------- #
+
+MMBENCH_CIRCULAR_BASE = 1_000_000
+MMBENCH_OPTION_KEYS = ("A", "B", "C", "D")
+
+
+@dataclass
+class MMBenchItem:
+    index: int
+    question: str
+    options: Dict[str, str]          # letter -> text (missing letters absent)
+    answer: Optional[str] = None     # gt letter (None on the hidden test set)
+    hint: str = ""
+    category: str = ""
+    response: Optional[str] = None
+
+
+def load_mmbench_tsv(path: str) -> List[MMBenchItem]:
+    """Official MMBench TSV (columns: index, question, hint, A, B, C, D,
+    answer, category, ...). Uses csv with tab dialect — option texts may
+    contain commas."""
+    import csv
+
+    items: List[MMBenchItem] = []
+    with open(path, newline="") as f:
+        for row in csv.DictReader(f, delimiter="\t"):
+            options = {
+                k: row[k].strip()
+                for k in MMBENCH_OPTION_KEYS
+                if row.get(k) and row[k].strip() and row[k].strip() != "nan"
+            }
+            items.append(MMBenchItem(
+                index=int(row["index"]),
+                question=row.get("question", ""),
+                options=options,
+                answer=(row.get("answer") or "").strip() or None,
+                hint=(row.get("hint") or "").strip(),
+                category=(row.get("category") or "").strip(),
+            ))
+    return items
+
+
+def build_mmbench_prompt(item: MMBenchItem) -> str:
+    """lmms-eval mmbench prompt: hint, question, lettered options, then the
+    direct-letter instruction."""
+    parts = []
+    if item.hint and item.hint.lower() != "nan":
+        parts.append(item.hint)
+    parts.append(item.question)
+    for k in MMBENCH_OPTION_KEYS:
+        if k in item.options:
+            parts.append(f"{k}. {item.options[k]}")
+    parts.append("Answer with the option's letter from the given choices directly.")
+    return "\n".join(parts)
+
+
+def extract_choice_letter(response: str, options: Dict[str, str]) -> Optional[str]:
+    """Letter extraction: leading letter, '(X)', 'X.', or a unique option-text
+    substring match."""
+    r = (response or "").strip()
+    m = re.match(r"^\(?([A-D])\)?(?:[\s.,:)]|$)", r, re.IGNORECASE)
+    if m:
+        return m.group(1).upper()
+    m = re.search(r"\b(?:answer|option)\s*(?:is|:)?\s*\(?([A-D])\)?", r, re.IGNORECASE)
+    if m:
+        return m.group(1).upper()
+    hits = [k for k, v in options.items() if v and v.lower() in r.lower()]
+    if len(hits) == 1:
+        return hits[0]
+    return None
+
+
+def score_mmbench(items: Sequence[MMBenchItem]) -> Dict[str, Any]:
+    """CircularEval: group rotations by index % 1e6; a base question is
+    correct only if EVERY rotation's extracted letter matches its gt."""
+    groups: Dict[int, List[MMBenchItem]] = {}
+    for it in items:
+        groups.setdefault(it.index % MMBENCH_CIRCULAR_BASE, []).append(it)
+
+    n_correct = 0
+    per_category: Dict[str, List[bool]] = {}
+    for base, rotations in groups.items():
+        ok = all(
+            it.answer is not None
+            and extract_choice_letter(it.response or "", it.options) == it.answer
+            for it in rotations
+        )
+        n_correct += int(ok)
+        cat = rotations[0].category or "overall"
+        per_category.setdefault(cat, []).append(ok)
+    n = max(len(groups), 1)
+    return {
+        "accuracy": n_correct / n,
+        "num_questions": len(groups),
+        "num_rows": len(items),
+        "categories": {
+            c: float(np.mean(v)) for c, v in sorted(per_category.items())
+        },
+    }
+
+
+# --------------------------------------------------------------------------- #
+# POPE
+# --------------------------------------------------------------------------- #
+
+
+@dataclass
+class POPEItem:
+    question_id: Any
+    question: str
+    label: str                       # "yes" / "no"
+    subset: str = "adversarial"      # random / popular / adversarial
+    response: Optional[str] = None
+
+
+def load_pope_jsonl(path: str, subset: Optional[str] = None) -> List[POPEItem]:
+    """Official POPE jsonl: {"question_id", "image", "text", "label"}; the
+    subset is conventionally encoded in the filename
+    (coco_pope_adversarial.json etc.)."""
+    if subset is None:
+        base = os.path.basename(path)
+        m = re.search(r"(random|popular|adversarial)", base)
+        subset = m.group(1) if m else "unknown"
+    items = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            row = json.loads(line)
+            items.append(POPEItem(
+                question_id=row.get("question_id"),
+                question=row.get("text", row.get("question", "")),
+                label=row["label"],
+                subset=subset,
+            ))
+    return items
+
+
+def score_pope(items: Sequence[POPEItem]) -> Dict[str, Any]:
+    """Accuracy / precision / recall / F1 on the 'yes' class + yes-ratio,
+    overall and per subset (the lmms-eval pope metric set)."""
+    from glimpseprune_tpu.evalsuite.shortform import yes_no_metrics
+
+    def agg(sub: Sequence[POPEItem]) -> Dict[str, float]:
+        m = yes_no_metrics([i.response or "" for i in sub], [i.label for i in sub])
+        yes = sum(
+            1 for i in sub if re.search(r"\byes\b", (i.response or "").lower())
+        )
+        m["yes_ratio"] = yes / max(len(sub), 1)
+        return m
+
+    out: Dict[str, Any] = dict(agg(items))
+    subsets = sorted({i.subset for i in items})
+    if len(subsets) > 1:
+        out["subsets"] = {s: agg([i for i in items if i.subset == s]) for s in subsets}
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# GQA
+# --------------------------------------------------------------------------- #
+
+
+@dataclass
+class GQAItem:
+    question_id: str
+    question: str
+    answer: str
+    image_id: str = ""
+    full_answer: str = ""
+    response: Optional[str] = None
+
+
+def load_gqa_questions(path: str) -> List[GQAItem]:
+    """Official GQA format: one json dict {qid: {question, answer, imageId,
+    fullAnswer, ...}} (val_balanced_questions.json et al)."""
+    with open(path) as f:
+        data = json.load(f)
+    items = []
+    for qid, row in data.items():
+        items.append(GQAItem(
+            question_id=qid,
+            question=row["question"],
+            answer=row.get("answer", ""),
+            image_id=row.get("imageId", ""),
+            full_answer=row.get("fullAnswer", ""),
+        ))
+    items.sort(key=lambda x: x.question_id)
+    return items
+
+
+def score_gqa(items: Sequence[GQAItem]) -> Dict[str, float]:
+    hits = [
+        vqa_normalize(i.response or "") == vqa_normalize(i.answer) for i in items
+    ]
+    return {"accuracy": float(np.mean(hits)) if hits else 0.0, "num": len(items)}

@@ -1,13 +1,12 @@
 """Short-form VQA scoring: the in-process replacement for the reference's
 lmms-eval plugin (my_lmms_eval/, SURVEY.md §2.6).
 
-lmms-eval is torch/accelerate-entangled; the tasks the reference runs
-(eval_qwen_gp.sh:96-107) reduce to three metric families which we implement
-directly over the same (response, answer) records:
-
-- exact-match VQA accuracy with normalization (gqa, vqav2-style)
-- yes/no accuracy + F1 (pope)
-- multiple-choice letter accuracy (mmbench, seedbench, scienceqa, vstar)
+Generic metric families live here (exact-match / yes-no / multiple-choice);
+the per-benchmark OFFICIAL protocols and native file-format loaders for the
+ten tasks the reference runs (eval_qwen_gp.sh:96-107) live in
+evalsuite/protocols.py (MME category aggregation + acc+, MMBench
+CircularEval, POPE subsets, GQA questions-dict, VQAv2 consensus accuracy)
+and are dispatched via `score_task` below.
 """
 
 from __future__ import annotations
@@ -109,3 +108,35 @@ def score_shortform(task: str, responses: Sequence[str], answers: Sequence[str])
     except KeyError:
         raise KeyError(f"Unknown short-form task {task!r}; known: {sorted(TASK_METRICS)}")
     return fn(responses, answers)
+
+
+def score_task(task: str, items):
+    """Dispatch a benchmark's OFFICIAL protocol over its item records.
+
+    task -> item type (see evalsuite/protocols.py): mme -> MMEItem,
+    mmbench_* -> MMBenchItem, pope -> POPEItem, gqa -> GQAItem;
+    vqav2/vizwiz take (response, [10 gt answers]) pairs; the remaining
+    choice tasks take (response, answer-letter) pairs.
+    """
+    from glimpseprune_tpu.evalsuite import protocols as P
+
+    if task == "mme":
+        return P.score_mme(items)
+    if task.startswith("mmbench"):
+        return P.score_mmbench(items)
+    if task == "pope":
+        return P.score_pope(items)
+    if task == "gqa":
+        return P.score_gqa(items)
+    if task in ("vqav2", "vqav2_val_lite", "vizwiz", "vizwiz_vqa_val"):
+        responses = [r for r, _ in items]
+        gt = [a for _, a in items]
+        return {"accuracy": P.vqav2_accuracy(responses, gt), "num": len(items)}
+    if task in ("seedbench", "scienceqa_img", "vstar", "vstar_bench"):
+        responses = [r for r, _ in items]
+        answers = [a for _, a in items]
+        return {
+            "accuracy": multiple_choice_accuracy(responses, answers),
+            "num": len(items),
+        }
+    raise KeyError(f"Unknown benchmark task {task!r}")

@@ -123,18 +123,35 @@ def _normalized_mean_attention(
     attn_map: jnp.ndarray,  # [B, N, n_layers*n_heads]
     valid: jnp.ndarray,  # [B, N]
     use_attention_logits: bool,
+    group_ids: Optional[jnp.ndarray] = None,  # [B, N] image index per slot
+    max_groups: int = 8,
 ) -> jnp.ndarray:
-    """Training-free importance: per-image min-max-normalized mean attention
-    (reference AttnFuserDummy / ori_attn_supervision, model_gp.py:188-208)."""
+    """Training-free importance: *per-image* min-max-normalized mean attention
+    (reference AttnFuserDummy / ori_attn_supervision, model_gp.py:188-208,
+    which loops st:ed per attn_grid entry — softmax and min/max never span
+    image boundaries). Single-image rows pass group_ids=None (one group)."""
     m = attn_map.astype(jnp.float32).mean(axis=-1)  # [B, N]
+    if group_ids is None:
+        group_ids = jnp.zeros(m.shape, dtype=jnp.int32)
+    g = jnp.clip(group_ids, 0, max_groups - 1)
+    member = (
+        jnp.arange(max_groups, dtype=g.dtype)[None, None, :] == g[..., None]
+    ) & valid[..., None]  # [B, N, G]
+
+    def _per_element(per_group):  # [B, G] -> [B, N]
+        return jnp.take_along_axis(per_group, g, axis=1)
+
     if use_attention_logits:
-        m = jnp.where(valid, m, -jnp.inf)
-        m = jax.nn.softmax(m, axis=-1)
+        # softmax within each image's token span
+        lg = jnp.where(valid, m, -jnp.inf)
+        gmax = jnp.max(jnp.where(member, lg[..., None], -jnp.inf), axis=1)  # [B, G]
+        e = jnp.where(valid, jnp.exp(lg - _per_element(gmax)), 0.0)
+        denom = jnp.sum(jnp.where(member, e[..., None], 0.0), axis=1)  # [B, G]
+        m = e / jnp.maximum(_per_element(denom), 1e-30)
     else:
         m = jnp.exp(m)  # rows are log-probs
-    m = jnp.where(valid, m, jnp.nan)
-    mmin = jnp.nanmin(m, axis=-1, keepdims=True)
-    mmax = jnp.nanmax(m, axis=-1, keepdims=True)
+    mmin = _per_element(jnp.min(jnp.where(member, m[..., None], jnp.inf), axis=1))
+    mmax = _per_element(jnp.max(jnp.where(member, m[..., None], -jnp.inf), axis=1))
     out = (m - mmin) / (mmax - mmin + 1e-6)
     return jnp.where(valid, out, 0.0)
 
@@ -208,8 +225,11 @@ class AttnFuserDummy(BaseAttnFuser):
 
     @nn.compact
     def __call__(self, attn_map, taps, geom_window_index, geom_reverse_index,
-                 geom_segment_ids, geom_pos_ids, valid, training=False):
-        out = _normalized_mean_attention(attn_map, valid, self.gp.use_attention_logits)
+                 geom_segment_ids, geom_pos_ids, valid, training=False,
+                 group_ids=None):
+        out = _normalized_mean_attention(
+            attn_map, valid, self.gp.use_attention_logits, group_ids
+        )
         return out[None]  # [1, B, N]
 
 
@@ -229,7 +249,8 @@ class AttnFuserV1(BaseAttnFuser):
 
     @nn.compact
     def __call__(self, attn_map, taps, geom_window_index, geom_reverse_index,
-                 geom_segment_ids, geom_pos_ids, valid, training=False):
+                 geom_segment_ids, geom_pos_ids, valid, training=False,
+                 group_ids=None):
         gp = self.gp
         n_fuser_layers = len(gp.selected_visual_layers)
         cond_size = gp.visual_cond_size if (self.with_condition and n_fuser_layers > 0) else 0
@@ -239,7 +260,9 @@ class AttnFuserV1(BaseAttnFuser):
         outs: List[jnp.ndarray] = []
         if gp.ori_attn_supervision and not training:
             outs.append(
-                _normalized_mean_attention(attn_map, valid, gp.use_attention_logits)
+                _normalized_mean_attention(
+                    attn_map, valid, gp.use_attention_logits, group_ids
+                )
             )
 
         x = nn.Dense(gp.attn_fuse_size, use_bias=True, dtype=self.dtype, name="attn_in_proj")(

@@ -171,6 +171,44 @@ def prepare_llava_inputs(
     )
 
 
+def prepare_llava_chat_inputs(
+    cfg: ModelConfig,
+    clip_cfg: CLIPTowerConfig,
+    messages_list,
+    images: Sequence[np.ndarray],
+    tokenize,
+    is_sft: bool = False,
+    **kwargs,
+) -> PreparedInputs:
+    """vicuna_v1 chat entry point (reference llava/conversation.py:242-253;
+    eval prep viscot_eval/models/llava_gp.py builds DEFAULT_IMAGE_TOKEN+"\\n"+q
+    through conv_templates["vicuna_v1"]). ``<image>`` markers map to
+    cfg.image_token_id (the IMAGE_TOKEN_INDEX=-200 analogue); ``</s>``
+    (vicuna sep2) maps to eos."""
+    from glimpseprune_tpu.preprocessing.chat import (
+        LLAVA_IMAGE_TOKEN,
+        chat_prompt_ids,
+        render_vicuna_v1,
+        split_sft_conversation,
+    )
+
+    sids = {LLAVA_IMAGE_TOKEN: cfg.image_token_id, "</s>": cfg.eos_token_id}
+    prompts, answers = [], ([] if is_sft else None)
+    for messages in messages_list:
+        if is_sft:
+            p, a = split_sft_conversation(
+                messages, tokenize, sids, renderer=render_vicuna_v1
+            )
+            prompts.append(p)
+            answers.append(a)
+        else:
+            text = render_vicuna_v1(messages, add_generation_prompt=True)
+            prompts.append(chat_prompt_ids(text, tokenize, sids))
+    return prepare_llava_inputs(
+        cfg, clip_cfg, prompts, images, answer_ids=answers, **kwargs
+    )
+
+
 def make_llava_runner(cfg: ModelConfig, clip_cfg: CLIPTowerConfig, params,
                       dtype=jnp.float32) -> GlimpsePruneRunner:
     model = Llava_GP(cfg, dtype=dtype, clip_cfg=clip_cfg)

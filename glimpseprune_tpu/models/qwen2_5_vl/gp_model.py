@@ -304,6 +304,7 @@ class Qwen2_5_VL_GP(nn.Module):
                 fuser_window_index, fuser_reverse_index,
                 fuser_segment_ids, fuser_pos_ids, img_valid,
                 training=training,
+                group_ids=img_group,
             )
 
         state = GlimpseState(

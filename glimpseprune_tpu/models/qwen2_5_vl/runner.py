@@ -198,6 +198,11 @@ def prepare_inputs(
     for b in range(B):
         row_grids = []
         off = 0
+        # keep_scores_with_policy_grouped clips group ids to max_groups=8;
+        # more images per row would silently share budget groups
+        assert n_imgs_row[b] <= 8, (
+            f"row {b} has {n_imgs_row[b]} images; max supported per row is 8"
+        )
         for i in range(n_imgs_row[b]):
             gi = grids[img_offsets[b] + i]
             hw = (int(gi[1]) // v.spatial_merge_size, int(gi[2]) // v.spatial_merge_size)
@@ -290,6 +295,52 @@ def prepare_inputs(
         anchor_mask=anchor,
         labels=labels,
     )
+
+
+def prepare_chat_inputs(
+    cfg: ModelConfig,
+    messages_list: Sequence[Sequence[dict]],
+    images: Sequence[np.ndarray],
+    tokenize,
+    special_ids: Optional[Dict[str, int]] = None,
+    is_sft: bool = False,
+    add_vision_id: bool = False,
+    im_start_id: int = 151644,
+    **kwargs,
+) -> PreparedInputs:
+    """Chat-messages entry point: render the Qwen chat template, tokenize,
+    and build model inputs (reference GPCollator train_qwen_gp.py:600-662 /
+    lmms wrapper apply_chat_template my_lmms_eval/models/qwen2_5_vl_gp.py:
+    337-356).
+
+    messages_list[b] is one HF-format conversation. ``is_sft`` conversations
+    end with the assistant turn; its tokens become the answer (labels), the
+    rendered prefix incl. "<|im_start|>assistant\\n" becomes the prompt —
+    identical label coverage to the reference's mask-until-last-im_start+3.
+    ``tokenize`` maps plain text -> ids; special markers are mapped directly
+    via ``special_ids`` (default: the released Qwen2.5-VL vocabulary ids).
+    """
+    from glimpseprune_tpu.preprocessing.chat import (
+        chat_prompt_ids,
+        qwen_special_ids,
+        render_qwen_chat,
+        split_sft_conversation,
+    )
+
+    sids = special_ids or qwen_special_ids(cfg, im_start_id=im_start_id)
+    prompts: List[List[int]] = []
+    answers: Optional[List[List[int]]] = [] if is_sft else None
+    for messages in messages_list:
+        if is_sft:
+            p, a = split_sft_conversation(messages, tokenize, sids)
+            prompts.append(p)
+            answers.append(a)
+        else:
+            text = render_qwen_chat(
+                messages, add_generation_prompt=True, add_vision_id=add_vision_id
+            )
+            prompts.append(chat_prompt_ids(text, tokenize, sids))
+    return prepare_inputs(cfg, prompts, images, answer_ids=answers, **kwargs)
 
 
 @dataclass

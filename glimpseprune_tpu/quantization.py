@@ -23,9 +23,12 @@ Sharding: `kernel_q` inherits the kernel's PartitionSpec via the
 `kernel(_q)?` rules in parallel/mesh.py; `kernel_scale` is replicated
 (tiny) and broadcasts across output shards under GSPMD.
 
-Limitation: LoRA (training/lora.py) targets fp `kernel` leaves — train
-adapters on the bf16 base, then quantize for serving (QLoRA-style
-training over an int8 base is future work).
+QLoRA: `insert_lora` (training/lora.py) also targets `kernel_q` paths, so
+adapters train *over the int8 base* — the in-scan per-layer adapter matmul
+composes with the dequant-at-use path (tests/test_quantization.py::
+test_qlora_int8_base_plus_inscan_lora; 7B int8 GRPO fits one 16 GB chip).
+Only the merged-weight `apply_lora` path remains fp-only (merging into an
+int8 kernel would need requantization).
 """
 
 from __future__ import annotations

@@ -95,12 +95,14 @@ def dummy_score(queries, answers, completions, **kw) -> List[float]:
 
 
 def whiten_group_scores(scores: jnp.ndarray, num_generations: int) -> jnp.ndarray:
-    """Scores [B*G] -> advantages whitened within each G-group
-    (reference :1361-1377: subtract group mean, divide global std)."""
-    g = scores.reshape(-1, num_generations)
-    centered = g - g.mean(axis=1, keepdims=True)
-    std = scores.std() + 1e-4
-    return (centered / std).reshape(-1)
+    """Scores [B*G] -> whitened advantages.
+
+    Matches the reference exactly (train_qwen_gp.py:1375-1378): subtract the
+    *global* mean of all gathered scores and divide by the global std + 1e-4.
+    (Canonical GRPO would center per-G-group; the reference does not.)
+    """
+    del num_generations  # kept for signature stability; reference is global
+    return (scores - scores.mean()) / (scores.std() + 1e-4)
 
 
 def token_logprobs(logits: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
@@ -114,11 +116,13 @@ def grpo_surrogate(
     advantages: jnp.ndarray,      # [B]
     mask: jnp.ndarray,            # [B, T] completion-token mask
 ) -> jnp.ndarray:
-    """-exp(logp - stop_grad(logp)) * A, token-mean (reference :1424-1445)."""
+    """-exp(logp - stop_grad(logp)) * A; per-sequence token mean, then batch
+    mean, matching the reference weighting (train_qwen_gp.py:1424-1446) so
+    long completions do not dominate short ones."""
     ratio = jnp.exp(policy_logps - jax.lax.stop_gradient(policy_logps))
-    per_tok = -ratio * advantages[:, None]
-    per_tok = per_tok * mask
-    return per_tok.sum() / jnp.maximum(mask.sum(), 1)
+    per_tok = -ratio * advantages[:, None] * mask
+    per_seq = per_tok.sum(axis=-1) / jnp.maximum(mask.sum(axis=-1), 1)
+    return per_seq.mean()
 
 
 def k3_kl(
@@ -126,11 +130,12 @@ def k3_kl(
     ref_logps: jnp.ndarray,     # [B, T]
     mask: jnp.ndarray,
 ) -> jnp.ndarray:
-    """k3 KL estimator: exp(ref-pol) - (ref-pol) - 1 (reference :1402-1421)."""
+    """k3 KL estimator: exp(ref-pol) - (ref-pol) - 1 (reference :1402-1421);
+    per-sequence token mean then batch mean, like grpo_surrogate."""
     diff = ref_logps - policy_logps
-    per_tok = jnp.exp(diff) - diff - 1.0
-    per_tok = per_tok * mask
-    return per_tok.sum() / jnp.maximum(mask.sum(), 1)
+    per_tok = (jnp.exp(diff) - diff - 1.0) * mask
+    per_seq = per_tok.sum(axis=-1) / jnp.maximum(mask.sum(axis=-1), 1)
+    return per_seq.mean()
 
 
 class GRPOBatch(NamedTuple):
@@ -255,6 +260,10 @@ class GRPOTrainer:
                                 reward_weight, kd_weight)
         )
         self.seed = seed
+        # One host RNG for the whole run so the gen-vs-ref mask mixing draws
+        # fresh per step (reference samples fresh each step,
+        # train_qwen_gp.py:1091-1119)
+        self._host_rng = np.random.default_rng(seed)
 
     def step_on_batch(self, samples, load_image, rng_key) -> Dict[str, float]:
         from glimpseprune_tpu.models.qwen2_5_vl.runner import prepare_inputs
@@ -290,8 +299,7 @@ class GRPOTrainer:
             gen_keep = np.asarray(
                 jax.nn.sigmoid(ml[-1]) > cfg.gp.reduce_threshold
             )
-            host_rng = np.random.default_rng(self.seed)
-            use_gen = host_rng.random(len(prompts)) < self.gen_mask_usage_ratio
+            use_gen = self._host_rng.random(len(prompts)) < self.gen_mask_usage_ratio
             mixed = prep.ref_token_masks.copy()
             mixed[use_gen] = gen_keep[use_gen]
             prep.ref_token_masks = mixed

@@ -82,7 +82,10 @@ class TrainerConfig:
 def default_collate(cfg: ModelConfig, samples: Sequence[TrainSample],
                     tokenize: Callable, load_image: Callable,
                     tcfg: TrainerConfig):
-    """Samples -> device batch dict via the shared input preparation."""
+    """Samples -> device batch dict via the shared input preparation.
+
+    Raw-token variant (no chat template); use chat_collate for the
+    reference GPCollator's template-formatted recipe."""
     from glimpseprune_tpu.models.qwen2_5_vl.runner import prepare_inputs
 
     prompts, answers, images, bboxes = [], [], [], []
@@ -99,6 +102,45 @@ def default_collate(cfg: ModelConfig, samples: Sequence[TrainSample],
         seq_multiple=tcfg.seq_multiple, patch_multiple=tcfg.patch_multiple,
         max_pixels=tcfg.max_pixels,
     )
+    return batch_from_prep(prep)
+
+
+def chat_collate(cfg: ModelConfig, samples: Sequence[TrainSample],
+                 tokenize: Callable, load_image: Callable,
+                 tcfg: TrainerConfig, is_sft: bool = True,
+                 special_ids=None, im_start_id: int = 151644):
+    """GPCollator parity (reference train_qwen_gp.py:600-662): one user turn
+    with [image, query] parts (+ the assistant answer turn when SFT), rendered
+    through the Qwen chat template, labels covering exactly the tokens after
+    the last "<|im_start|>assistant\\n"."""
+    from glimpseprune_tpu.models.qwen2_5_vl.runner import prepare_chat_inputs
+
+    messages, images, bboxes = [], [], []
+    for s in samples:
+        turns = [{
+            "role": "user",
+            "content": [{"type": "image"}, {"type": "text", "text": s.query}],
+        }]
+        if is_sft:
+            turns.append({
+                "role": "assistant",
+                "content": [{"type": "text", "text": s.answer}],
+            })
+        messages.append(turns)
+        images.append(load_image(s.img_path))
+        bboxes.append(s.normed_bboxes)
+    prep = prepare_chat_inputs(
+        cfg, messages, images, tokenize,
+        special_ids=special_ids, is_sft=is_sft, im_start_id=im_start_id,
+        normed_bboxes=bboxes,
+        seq_multiple=tcfg.seq_multiple, patch_multiple=tcfg.patch_multiple,
+        max_pixels=tcfg.max_pixels,
+    )
+    return batch_from_prep(prep)
+
+
+def batch_from_prep(prep):
+    """PreparedInputs -> the device batch dict the train step consumes."""
     batch = {
         "input_ids": jnp.asarray(prep.input_ids),
         "valid": jnp.asarray(prep.valid),

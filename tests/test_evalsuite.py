@@ -216,3 +216,59 @@ def test_gather_objects_single_host_and_merge(tmp_path):
     assert n == 3
     rows = [json.loads(l) for l in open(out)]
     assert [r["question_id"] for r in rows] == [1, 2, 3]
+
+
+def test_llm_client_concurrent_scoring_order_and_speedup():
+    """score() fans out over threads: with a 50ms-per-request local judge,
+    16 requests complete ~concurrency x faster than serial, and scores come
+    back in input order (reference test_api.py:17-60 proves the endpoint
+    side handles concurrency)."""
+    import http.server
+    import socketserver
+    import threading
+    import time as _time
+
+    from glimpseprune_tpu.evalsuite.judge import LLMClient
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            # echo the per-item score encoded in the completion text
+            user = body["messages"][1]["content"]
+            import re as _re
+
+            m = _re.search(r"model's answer: s(\d+)", user)
+            val = int(m.group(1)) / 100.0 if m else 0.0
+            _time.sleep(0.05)
+            resp = json.dumps({
+                "choices": [{"message": {"content": f"score: {val}"}}]
+            }).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+        def log_message(self, *a):
+            pass
+
+    with socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler) as srv:
+        port = srv.server_address[1]
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            client = LLMClient(f"http://127.0.0.1:{port}", concurrency=16)
+            client.score(["warm"], ["s0"], ["a"])  # one-time urllib/opener init
+            n = 16
+            queries = [f"q{i}" for i in range(n)]
+            comps = [f"s{i}" for i in range(n)]
+            answers = ["a"] * n
+            t0 = _time.perf_counter()
+            scores = client.score(queries, comps, answers)
+            elapsed = _time.perf_counter() - t0
+            assert scores == [i / 100.0 for i in range(n)]  # input order kept
+            assert elapsed < n * 0.05 / 4  # >4x over serial
+            # serial fallback path still works
+            client1 = LLMClient(f"http://127.0.0.1:{port}", concurrency=1)
+            assert client1.score(["q"], ["s7"], ["a"]) == [0.07]
+        finally:
+            srv.shutdown()

@@ -54,11 +54,13 @@ def test_lora_make_apply():
 
 
 def test_whiten_group_scores():
-    scores = jnp.array([1.0, 0.0, 1.0, 1.0])  # two groups of G=2
+    # reference whitening is GLOBAL mean/std over all gathered scores
+    # (train_qwen_gp.py:1375-1378), not per-G-group
+    scores = jnp.array([1.0, 0.0, 1.0, 1.0])
     adv = np.asarray(whiten_group_scores(scores, 2))
-    np.testing.assert_allclose(adv[0], -adv[1], rtol=1e-5)
-    assert adv[0] > 0 > adv[1]  # winner gets positive advantage
-    np.testing.assert_allclose(adv[2:], 0.0, atol=1e-6)  # tie group -> 0
+    expect = (np.asarray(scores) - 0.75) / (np.asarray(scores).std() + 1e-4)
+    np.testing.assert_allclose(adv, expect, rtol=1e-5)
+    assert adv[1] < 0 < adv[0]  # loser below the global mean
 
 
 def test_grpo_loss_pieces():
