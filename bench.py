@@ -175,9 +175,12 @@ def run(scale: str):
             inputs["full_seg"], inputs["vis_valid"],
             method=runner.model.vision_encode,
         )
+        # logits_last_only: a generate() baseline only needs the final
+        # position's logits, same as the pruned path's [B,1,V] resume output
         logits, kv_k, kv_v = runner.model.apply(
             params, vanilla["input_ids"], vanilla["valid"], vanilla["position_ids"],
             merged, inputs["packed_idx"], inputs["img_slots"], inputs["img_valid"],
+            True,
             method=runner.model.vanilla_prefill,
         )
         return (logits.astype(jnp.float32)[0, -1, :8].sum()
@@ -208,31 +211,72 @@ def run(scale: str):
 
     decode_detail = {}
     if os.environ.get("BENCH_DECODE"):
-        # decode 32 tokens over the compacted vs full KV cache (one chunked
-        # lax.scan each); per-token decode cost is what the 92% smaller KV
-        # buys at larger batch/context
+        # decode n_dec tokens over the compacted vs FULL KV cache (one
+        # chunked lax.scan each; eos=-1 so no early exit). The pruned-vs-
+        # unpruned decode delta is what the ~92% smaller KV buys per step
+        # (reference protocol: llm_forward decode timing, warppers.py:190-300)
+        n_dec = int(os.environ.get("BENCH_DECODE", "0"))
+        n_dec = n_dec if n_dec > 1 else 64
         out = runner._prefill({"params": params}, dev_inputs,
-                              out_len=prep.out_len, use_ref_masks=False)
-        n_dec = 32
+                              out_len=prep.out_len, use_ref_masks=use_ref)
 
         def dec_pruned(i):
             seqs, _ = runner._decode_loop(
                 out.logits + i * 1e-6, out.valid, out.position_ids,
                 out.kv_k, out.kv_v, n_dec, -1, chunk_size=n_dec,
+                rng=jax.random.PRNGKey(i),
             )
-            return jnp.float32(seqs.sum())
+            return seqs.sum()
 
-        t0 = time.perf_counter()
-        float(dec_pruned(jnp.float32(0)))
-        compile_s = time.perf_counter() - t0
-        ts = []
-        for i in range(1, 3):
+        # unpruned baseline: decode over the full-length vanilla KV
+        merged_u = runner._vision(
+            {"params": params}, dev_inputs["patches"], dev_inputs["vis_pos_ids"],
+            dev_inputs["full_seg"], dev_inputs["vis_valid"],
+        )[0]
+        u_logits, u_kv_k, u_kv_v = jax.jit(
+            lambda p, *a: runner.model.apply(
+                p, *a, True, method=runner.model.vanilla_prefill)
+        )(
+            {"params": params}, vanilla_static["input_ids"],
+            vanilla_static["valid"], vanilla_static["position_ids"], merged_u,
+            dev_inputs["packed_idx"], dev_inputs["img_slots"],
+            dev_inputs["img_valid"],
+        )
+
+        def dec_unpruned(i):
+            seqs, _ = runner._decode_loop(
+                u_logits + i * 1e-6, vanilla_static["valid"],
+                vanilla_static["position_ids"], u_kv_k, u_kv_v, n_dec, -1,
+                chunk_size=n_dec, rng=jax.random.PRNGKey(i),
+            )
+            return seqs.sum()
+
+        def time_decode(fn):
             t0 = time.perf_counter()
-            float(dec_pruned(jnp.float32(i)))
-            ts.append(time.perf_counter() - t0)
+            fn(0)  # compile + warm
+            compile_s = time.perf_counter() - t0
+            ts = []
+            for i in range(1, 4):
+                t0 = time.perf_counter()
+                fn(i)
+                ts.append(time.perf_counter() - t0)
+            return max(min(ts) - rtt, 1e-6), compile_s
+
+        t_dec_p, compile_p = time_decode(dec_pruned)
+        t_dec_u, compile_u = time_decode(dec_unpruned)
+        # end-to-end generate = prefill + n_dec decode steps (reference
+        # do_generate wall-clock protocol, viscot_eval/infer_cot.py:315-347)
+        e2e_p = t_pruned + t_dec_p
+        e2e_u = t_unpruned + t_dec_u
         decode_detail = {
-            "pruned_decode_tok_s": round(n_dec / (min(ts) - rtt), 1),
-            "decode_compile_s": round(compile_s, 1),
+            "n_decode": n_dec,
+            "pruned_decode_tok_s": round(n_dec / t_dec_p, 1),
+            "unpruned_decode_tok_s": round(n_dec / t_dec_u, 1),
+            "decode_ratio": round(t_dec_u / t_dec_p, 3),
+            "e2e_generate_ms": round(e2e_p * 1e3, 1),
+            "e2e_generate_ms_unpruned": round(e2e_u * 1e3, 1),
+            "e2e_ratio": round(e2e_u / e2e_p, 3),
+            "decode_compile_s": round(compile_p + compile_u, 1),
         }
 
     n_tokens = int(prep.valid.sum())  # real prompt tokens (text + image + le)

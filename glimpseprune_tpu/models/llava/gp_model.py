@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from glimpseprune_tpu.config import GPConfig, ModelConfig, TextConfig, VisionConfig
 from glimpseprune_tpu.gp.fuser import make_fuser
 from glimpseprune_tpu.models.layers import RMSNorm
-from glimpseprune_tpu.models.llava.clip import CLIPVisionTower
+from glimpseprune_tpu.models.llava.clip import CLIPTextTower, CLIPVisionTower
 from glimpseprune_tpu.models.qwen2_5_vl.gp_model import Qwen2_5_VL_GP
 from glimpseprune_tpu.models.qwen2_5_vl.language import TextDecoder
 
@@ -59,6 +59,18 @@ class CLIPTowerConfig:
     patch_size: int = 14
     image_size: int = 336
     feature_layer: int = -2
+    # CDPruner text-conditioned relevance (reference llava_cdpruner loads the
+    # CLIP text tower + projections next to the vision tower,
+    # clip_encoder.py load_text_tower): off by default — enables the
+    # text_tower/visual_projection params only when CDPruner fidelity is used
+    with_text_tower: bool = False
+    projection_dim: int = 768
+    text_depth: int = 12
+    text_hidden_size: int = 768
+    text_num_heads: int = 12
+    text_intermediate_size: int = 3072
+    text_vocab_size: int = 49408
+    text_max_positions: int = 77
 
     @property
     def grid(self) -> int:
@@ -134,9 +146,23 @@ class Llava_GP(Qwen2_5_VL_GP):
             image_size=cc.image_size,
             feature_layer=cc.feature_layer,
             tap_layers=tuple(c.gp.selected_visual_layers),
+            with_projection=cc.with_text_tower,
+            projection_dim=cc.projection_dim,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
+        if cc.with_text_tower:
+            self.clip_text = CLIPTextTower(
+                depth=cc.text_depth,
+                hidden_size=cc.text_hidden_size,
+                num_heads=cc.text_num_heads,
+                intermediate_size=cc.text_intermediate_size,
+                vocab_size=cc.text_vocab_size,
+                max_positions=cc.text_max_positions,
+                projection_dim=cc.projection_dim,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )
         self.mm_projector_fc1 = nn.Dense(
             c.text.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype
         )
@@ -189,3 +215,34 @@ class Llava_GP(Qwen2_5_VL_GP):
             keys = keys_mean.reshape(b * n, -1)
             return packed, packed_taps, (imp, keys, imp)
         return packed, packed_taps
+
+    def __call__(self, *args, **kwargs):
+        # init/traversal path: touch the CDPruner text tower so its params
+        # materialize (setup-defined linen modules only create params when
+        # called during init)
+        if self.clip_cfg.with_text_tower:
+            self.clip_text(
+                jnp.zeros((1, self.clip_cfg.text_max_positions), jnp.int32)
+            )
+        return super().__call__(*args, **kwargs)
+
+    def cdpruner_relevance(self, pixels, clip_text_ids, text_valid=None):
+        """Reference CDPruner query relevance (llava_cdpruner
+        llava_arch.py:156-160): negated mean cosine similarity between each
+        CLIP-projected patch embed and the CLIP text embeds of the question
+        segments. Returns [B*N] packed scores (caller min-max normalizes in
+        cdpruner_select).
+
+        pixels [B, S, S, 3]; clip_text_ids [M, 77] zero-padded segments
+        shared across the batch (reference embeds the batch's texts once,
+        clip_encoder.py:77-87).
+        """
+        assert self.clip_cfg.with_text_tower, "build with with_text_tower=True"
+        _, _, img_embeds = self.visual(pixels, emit_embeds=True)  # [B, N, C]
+        txt = self.clip_text(clip_text_ids, text_valid)  # [M, C]
+        in_ = img_embeds.astype(jnp.float32)
+        in_ = in_ / jnp.maximum(jnp.linalg.norm(in_, axis=-1, keepdims=True), 1e-8)
+        tn = txt.astype(jnp.float32)
+        tn = tn / jnp.maximum(jnp.linalg.norm(tn, axis=-1, keepdims=True), 1e-8)
+        rel = -jnp.einsum("bnc,mc->bnm", in_, tn).mean(-1)  # [B, N]
+        return rel.reshape(-1)

@@ -500,7 +500,7 @@ class Qwen2_5_VL_GP(nn.Module):
 
     def vanilla_prefill(self, input_ids, valid, position_ids,
                         image_embeds=None, packed_idx=None, img_slots=None,
-                        img_valid=None):
+                        img_valid=None, logits_last_only: bool = False):
         c = self.cfg
         embeds = self.text.embed(input_ids)
         if image_embeds is not None:
@@ -517,7 +517,10 @@ class Qwen2_5_VL_GP(nn.Module):
             embeds, cos.astype(self.dtype), sin.astype(self.dtype), valid
         )
         x = self.text.final_norm(x)
-        return self.text.logits(x), kv_k, kv_v
+        # last_only matches generation use (and the pruned path's [B,1,V]
+        # resume logits) — full [B,S,V] logits cost ~S*H*V extra FLOPs that
+        # a generate() baseline never pays
+        return self.text.logits(x[:, -1:] if logits_last_only else x), kv_k, kv_v
 
     def completion_logits(self, prompt_embeds, prompt_valid, prompt_pos,
                           completion_ids, completion_valid, completion_pos):

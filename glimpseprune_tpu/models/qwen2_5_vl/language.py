@@ -74,12 +74,14 @@ def _mlp(cfg: TextConfig, pl, x, dtype):
 
 
 def _layer_prefill(cfg: TextConfig, pl, x, cos, sin, valid, q_index, dtype):
-    """One decoder layer -> (x, k, v, sel_q).
+    """One decoder layer -> (x, k, v, sel_q, q).
 
     sel_q is the glimpse token's post-rope query [B, Hq, D] — the only
     per-layer harvest state; the actual q@K^T rows are computed post-scan
     for the selected layers only (keeping the scan body free of per-layer
-    harvest matmuls)."""
+    harvest matmuls). The full post-rope q [B, S, Hq, D] is also returned
+    for the multi-query visualization harvest (emitted from the scan only
+    when requested)."""
     h = _rms(x, pl["input_layernorm"]["weight"], cfg.rms_norm_eps)
     q, k, v = _qkv(cfg, pl, h, cos, sin, dtype)
     attn = causal_segment_attention(q, k, v, valid)
@@ -87,7 +89,7 @@ def _layer_prefill(cfg: TextConfig, pl, x, cos, sin, valid, q_index, dtype):
     x = x + _dense(attn.reshape(b, s, -1), pl["self_attn"]["o_proj"], dtype)
     x = x + _mlp(cfg, pl, _rms(x, pl["post_attention_layernorm"]["weight"], cfg.rms_norm_eps), dtype)
     sel_q = jnp.take_along_axis(q, q_index[:, None, None, None], axis=1)[:, 0]
-    return x, k, v, sel_q
+    return x, k, v, sel_q, q
 
 
 def _layer_decode(cfg: TextConfig, pl, x, cos, sin, k_cache, v_cache, kv_valid,
@@ -221,6 +223,7 @@ class TextDecoder(nn.Module):
         q_index: Optional[jnp.ndarray] = None,
         use_attention_logits: bool = False,
         collect_kv: bool = True,
+        harvest_q_start: Optional[int] = None,
     ):
         """Run layers [layer_start, layer_end] (inclusive) as one lax.scan.
 
@@ -229,6 +232,12 @@ class TextDecoder(nn.Module):
         glimpse splice already happened at the embedding level (gp_model).
         Returns (x, (kv_k, kv_v) each [n, B, S, Hkv, D] | None,
         harvests {layer_id: [B, S, Hq] postprocessed rows}).
+
+        harvest_q_start (static) switches the harvest to the reference Sep
+        model's multi-query extraction (model_sep.py:53-72): harvests become
+        {layer_id: [B, S-q_start, S, Hq]} SOFTMAXED rows for every query
+        position from q_start on (causal+pad masked). Visualization-scale
+        only — the scan additionally emits each layer's full q tensor.
         """
         cfg = self.cfg
         if layer_end is None:
@@ -253,6 +262,8 @@ class TextDecoder(nn.Module):
         # scan over layer INDICES and dynamic-index the stacked params in the
         # body: slicing the stack up front would copy gigabytes of weights
         # per phase (two partial slices at 3B cost ~45ms of HBM traffic)
+        emit_queries = harvest_q_start is not None
+
         def body(carry, scanned):
             xc = carry
             lidx, le_vec = scanned
@@ -262,8 +273,9 @@ class TextDecoder(nn.Module):
             )
             le_rows = le_vec[le_offset]  # [B, S, H]
             xc = xc + jnp.where(le_inside[..., None], le_rows.astype(xc.dtype), 0)
-            xc, k, v, sel_q = _layer_prefill(cfg, pl, xc, cos, sin, valid, q_index, dtype)
-            return xc, (k, v, sel_q)
+            xc, k, v, sel_q, q = _layer_prefill(cfg, pl, xc, cos, sin, valid, q_index, dtype)
+            outs = (k, v, sel_q) + ((q[:, harvest_q_start:],) if emit_queries else ())
+            return xc, outs
 
         if cfg.remat:
             # training: rematerialize each layer in the backward pass instead
@@ -271,19 +283,35 @@ class TextDecoder(nn.Module):
             # FLOPs-for-HBM trade (3B glimpse train step OOMs at 16GB without)
             body = jax.checkpoint(body)
         layer_idx = jnp.arange(layer_start, layer_end + 1)
-        x, (ks, vs, sel_qs) = jax.lax.scan(body, x, (layer_idx, le_sl))
+        x, outs = jax.lax.scan(body, x, (layer_idx, le_sl))
+        ks, vs, sel_qs = outs[:3]
 
         harvests: Dict[int, jnp.ndarray] = {}
         hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
         for lid in harvest_layers:
             li = lid - layer_start
             k_exp = jnp.repeat(ks[li], hq // hkv, axis=2)  # [B, S, Hq, D]
-            raw = jnp.einsum(
-                "bhd,bthd->bht", sel_qs[li], k_exp,
-                preferred_element_type=jnp.float32,
-            )
-            raw = (raw / jnp.sqrt(jnp.float32(cfg.head_dim))).transpose(0, 2, 1)
-            harvests[lid] = harvest_postprocess(raw, q_index, valid, use_attention_logits)
+            if emit_queries:
+                # Sep-model multi-query rows: softmax(q@K^T) for every query
+                # from q_start, causal+pad masked (model_sep.py:53-72)
+                qs = outs[3][li]  # [B, n_q, Hq, D]
+                raw = jnp.einsum(
+                    "bqhd,bthd->bqht", qs, k_exp,
+                    preferred_element_type=jnp.float32,
+                ) / jnp.sqrt(jnp.float32(cfg.head_dim))
+                s = raw.shape[-1]
+                qpos = harvest_q_start + jnp.arange(raw.shape[1])
+                allowed = (jnp.arange(s)[None, None, :] <= qpos[None, :, None]) & valid[:, None, :]
+                raw = jnp.where(allowed[:, :, None, :], raw, -jnp.inf)
+                probs = jax.nn.softmax(raw, axis=-1)  # [B, n_q, Hq, S]
+                harvests[lid] = probs.transpose(0, 1, 3, 2)  # [B, n_q, S, Hq]
+            else:
+                raw = jnp.einsum(
+                    "bhd,bthd->bht", sel_qs[li], k_exp,
+                    preferred_element_type=jnp.float32,
+                )
+                raw = (raw / jnp.sqrt(jnp.float32(cfg.head_dim))).transpose(0, 2, 1)
+                harvests[lid] = harvest_postprocess(raw, q_index, valid, use_attention_logits)
         kv = (ks, vs) if collect_kv else None
         return x, kv, harvests
 

@@ -68,21 +68,28 @@ def prepare_inputs(
     seq_multiple: int = 64,
     patch_multiple: int = 256,
     use_native_preproc: Optional[bool] = None,
+    videos: Optional[Sequence] = None,
+    video_seconds_per_grid: Optional[Sequence] = None,
 ) -> PreparedInputs:
     """Build statically-shaped model inputs for one batch.
 
     prompt_ids: token id lists with one `cfg.image_token_id` marker per
-    image (un-expanded, reference processor semantics process_gp.py:132-144).
-    images[b]: one HWC uint8 array, or a LIST of arrays for multi-image rows
-    (markers are expanded in order). normed_bboxes[b]: bbox list (single
-    image) or list of per-image bbox lists. answer_ids: training targets;
-    when given, the glimpse slots are spliced in front of the answer and
-    labels are emitted.
+    image (un-expanded, reference processor semantics process_gp.py:132-144)
+    and one `cfg.video_token_id` marker per video. images[b]: one HWC uint8
+    array, or a LIST of arrays for multi-image rows (markers are expanded in
+    order); [] for text-or-video-only rows. videos[b]: None, one [T, H, W, C]
+    array, or a list of them; video_seconds_per_grid[b]: seconds per temporal
+    grid step (scalar or per-video list; drives the mRoPE time axis,
+    reference get_rope_index video branch + second_per_grid_ts).
+    normed_bboxes[b]: bbox list (single image) or list of per-image bbox
+    lists. answer_ids: training targets; when given, the glimpse slots are
+    spliced in front of the answer and labels are emitted.
     """
     from glimpseprune_tpu.preprocessing.image import (
         DEFAULT_MAX_PIXELS,
         DEFAULT_MIN_PIXELS,
         preprocess_image,
+        preprocess_video,
     )
     from glimpseprune_tpu.preprocessing.ref_masks import ref_token_mask_from_bboxes
 
@@ -102,16 +109,53 @@ def prepare_inputs(
     B = len(prompt_ids)
     assert len(images) == B, "images: one entry (array or list) per row"
     images_per_row = [
-        im if isinstance(im, (list, tuple)) else [im] for im in images
+        list(im) if isinstance(im, (list, tuple))
+        else ([] if im is None else [im])
+        for im in images
     ]
-    n_imgs_row = [len(ims) for ims in images_per_row]
 
-    # ---- vision: patchify all images (row-major flat order), pack
+    def _listify(x):
+        if x is None:
+            return []
+        return list(x) if isinstance(x, (list, tuple)) else [x]
+
+    videos_per_row = [_listify(x) for x in (videos or [None] * B)]
+    spg_per_row = [_listify(x) for x in (video_seconds_per_grid or [None] * B)]
+
+    # ---- per-row visual entries in MARKER ORDER (images/videos interleaved
+    # exactly as their markers appear in the prompt)
+    entries_row: List[list] = []
+    for b, ids in enumerate(prompt_ids):
+        ids = list(ids)
+        n_im = ids.count(cfg.image_token_id)
+        n_vid = ids.count(cfg.video_token_id)
+        assert n_im == len(images_per_row[b]), (
+            f"row {b}: {n_im} image markers for {len(images_per_row[b])} images"
+        )
+        assert n_vid == len(videos_per_row[b]), (
+            f"row {b}: {n_vid} video markers for {len(videos_per_row[b])} videos"
+        )
+        im_it = iter(images_per_row[b])
+        vid_it = iter(videos_per_row[b])
+        spg_it = iter(spg_per_row[b] or [1.0] * n_vid)
+        entries = []
+        for t in ids:
+            if t == cfg.image_token_id:
+                entries.append(("image", np.asarray(next(im_it)), None))
+            elif t == cfg.video_token_id:
+                spg = next(spg_it, 1.0)
+                entries.append(("video", np.asarray(next(vid_it)),
+                                float(spg if spg is not None else 1.0)))
+        entries_row.append(entries)
+    n_imgs_row = [len(e) for e in entries_row]  # visual entries per row
+
+    # ---- vision: patchify all visuals (row-major marker order), pack
     patch_list, grids = [], []
-    for ims in images_per_row:
-        for img in ims:
-            p, g = preprocess_image(
-                np.asarray(img),
+    for entries in entries_row:
+        for kind, arr, _ in entries:
+            fn = preprocess_video if kind == "video" else preprocess_image
+            p, g = fn(
+                arr,
                 patch_size=v.patch_size,
                 temporal_patch_size=v.temporal_patch_size,
                 merge_size=v.spatial_merge_size,
@@ -120,7 +164,7 @@ def prepare_inputs(
             )
             patch_list.append(p)
             grids.append(g)
-    grids = np.array(grids)  # [n_total_images, 3]
+    grids = np.array(grids)  # [n_total_visuals, 3] thw, marker order
     patches_nat = np.concatenate(patch_list, axis=0)
     n_patches = patches_nat.shape[0]
     geo0 = build_vision_geometry(grids, v.window_size, v.spatial_merge_size, v.patch_size)
@@ -146,21 +190,17 @@ def prepare_inputs(
     packed_idx = np.zeros((B, N), dtype=np.int32)
     img_group = np.full((B, N), -1, dtype=np.int32)
 
-    # ---- text: expand image markers, append/splice le slots, left-pad
+    # ---- text: expand image/video markers, append/splice le slots, left-pad
     gp = cfg.gp
     le_len = gp.le_length if gp.has_le else 0
     rows, label_rows, le_starts = [], [], []
     for b, ids in enumerate(prompt_ids):
         ids = list(ids)
-        assert ids.count(cfg.image_token_id) == n_imgs_row[b], (
-            f"row {b}: {ids.count(cfg.image_token_id)} image markers for "
-            f"{n_imgs_row[b]} images"
-        )
         expanded = []
         img_i = img_offsets[b]
         for t in ids:
-            if t == cfg.image_token_id:
-                expanded.extend([cfg.image_token_id] * int(n_per_image[img_i]))
+            if t in (cfg.image_token_id, cfg.video_token_id):
+                expanded.extend([t] * int(n_per_image[img_i]))
                 img_i += 1
             else:
                 expanded.append(t)
@@ -189,25 +229,31 @@ def prepare_inputs(
         if labels is not None:
             labels[b, off:] = label_rows[b]
         le_start_arr[b] = off + le_starts[b]
-        pos = np.nonzero(input_ids[b] == cfg.image_token_id)[0]
+        pos = np.nonzero((input_ids[b] == cfg.image_token_id)
+                         | (input_ids[b] == cfg.video_token_id))[0]
         img_slots[b, : len(pos)] = pos
         img_valid[b, : len(pos)] = True
 
-    # per-row (possibly multi-image) fuser geometry + packed/group maps
+    # per-row (possibly multi-image/video) fuser geometry + packed/group maps.
+    # A video contributes one FRAME entry per temporal grid step (per-frame
+    # fuser attention segments = the reference's per-frame cu_seqlens) but
+    # ONE budget group (the keep policy treats the whole video as one visual,
+    # like the reference's contiguous image_token span, model_gp.py:1495-1549).
     grid_hw_rows = []
     for b in range(B):
         row_grids = []
         off = 0
         # keep_scores_with_policy_grouped clips group ids to max_groups=8;
-        # more images per row would silently share budget groups
+        # more visuals per row would silently share budget groups
         assert n_imgs_row[b] <= 8, (
-            f"row {b} has {n_imgs_row[b]} images; max supported per row is 8"
+            f"row {b} has {n_imgs_row[b]} visuals; max supported per row is 8"
         )
         for i in range(n_imgs_row[b]):
             gi = grids[img_offsets[b] + i]
+            t = int(gi[0])
             hw = (int(gi[1]) // v.spatial_merge_size, int(gi[2]) // v.spatial_merge_size)
-            row_grids.append(hw)
-            ni = hw[0] * hw[1]
+            row_grids.extend([hw] * t)
+            ni = t * hw[0] * hw[1]
             mo = moffs_img[img_offsets[b] + i]
             packed_idx[b, off : off + ni] = geo.slot_of_merged[mo : mo + ni]
             img_group[b, off : off + ni] = i
@@ -220,21 +266,30 @@ def prepare_inputs(
     )
 
     # ---- position ids (le slots get sequential text positions, matching
-    # reference _append_le position arithmetic model_gp.py:1178-1185)
+    # reference _append_le position arithmetic model_gp.py:1178-1185).
+    # Image and video grids split back out of marker order for the reference
+    # get_rope_index contract (video branch scales t by second_per_grid_ts).
+    flat_entries = [e for entries in entries_row for e in entries]
+    is_video = np.array([k == "video" for k, _, _ in flat_entries], dtype=bool)
+    image_grids = grids[~is_video] if (~is_video).any() else None
+    video_grids = grids[is_video] if is_video.any() else None
+    spg_list = [s for k, _, s in flat_entries if k == "video"] or None
     position_ids, _ = get_rope_index(
-        input_ids, grids, None, valid.astype(np.int64),
+        input_ids, image_grids, video_grids, valid.astype(np.int64),
+        second_per_grid_ts=spg_list,
         spatial_merge_size=v.spatial_merge_size,
         image_token_id=cfg.image_token_id,
         video_token_id=cfg.video_token_id,
         vision_start_token_id=cfg.vision_start_token_id,
     )
 
-    # ---- budgets -> static out_len (per-image caps summed for multi-image)
+    # ---- budgets -> static out_len (per-visual caps summed; a video's t*h*w
+    # tokens form one budget group, matching img_group above)
     budgets = np.zeros((B,), dtype=np.int64)
     for b in range(B):
         tot = 0
-        for (h, w) in grid_hw_rows[b]:
-            nb = h * w
+        for i in range(n_imgs_row[b]):
+            nb = int(n_per_image[img_offsets[b] + i])
             if gp.max_remain_ratio is not None:
                 k = int(gp.max_remain_ratio * nb)
                 k = max(k, gp.min_remain_num or 0) + len(gp.anchor_positions)
@@ -262,8 +317,8 @@ def prepare_inputs(
 
     anchor = None
     if gp.anchor_positions:
-        assert max(n_imgs_row) == 1, (
-            "anchor_positions unsupported with multi-image rows "
+        assert max(n_imgs_row) == 1 and not is_video.any(), (
+            "anchor_positions unsupported with multi-image/video rows "
             "(reference model_gp.py:1524-1525 raises the same)"
         )
         anchor = np.zeros((B, N), dtype=bool)
@@ -510,6 +565,16 @@ class GlimpsePruneRunner:
             rows = merge_dropped_into_kept(rows, keep_img, img_valid)
         elif method == "divprune":
             keep_img = divprune_select(rows, img_valid, k)
+        elif method == "cdpruner" and "cdpruner_relevance_packed" in inputs:
+            # text-conditioned relevance computed upstream (LLaVA: CLIP text
+            # tower + visual_projection, reference llava_cdpruner
+            # llava_arch.py:156-160 — see Llava_GP.cdpruner_relevance)
+            rel = inputs["cdpruner_relevance_packed"]  # [Pm]
+            relevance = _gather_rows(
+                jnp.broadcast_to(rel[None, :, None], (B, rel.shape[0], 1)),
+                packed_idx, img_valid,
+            )[..., 0]
+            keep_img = cdpruner_select(rows, relevance, img_valid, k)
         elif method == "cdpruner":
             # relevance proxy: negated cosine similarity between each visual
             # token and the mean text-token embedding (the reference's CLIP
@@ -593,11 +658,16 @@ class GlimpsePruneRunner:
             d["anchor_mask"] = jnp.asarray(prep.anchor_mask)
         return d
 
-    def harvest_rows(self, prep: PreparedInputs, layers=None):
-        """Raw glimpse cross-attention rows per layer/head for visualization
-        (the reference Sep model's full attention-map extraction,
-        model_sep.py:53-72). Returns {layer: [B, N_img, Hq]} log-prob rows
-        over image tokens (natural order)."""
+    def harvest_rows(self, prep: PreparedInputs, layers=None,
+                     q_start: Optional[int] = None):
+        """Cross-attention rows per layer/head for visualization.
+
+        q_start=None: the glimpse query's {layer: [B, N_img, Hq]} log-prob
+        rows over image tokens (natural order). q_start=int: the reference
+        Sep model's FULL multi-query extraction (model_sep.py:53-72) —
+        {layer: [B, n_q, N_img, Hq]} softmaxed rows for every query position
+        from q_start on, so save_attn_maps can reproduce the per-prompt-token
+        heatmaps."""
         cfg = self.cfg
         layers = tuple(layers) if layers else tuple(cfg.gp.selected_layers)
         inputs = self._device_inputs(prep, False)
@@ -633,20 +703,30 @@ class GlimpsePruneRunner:
                     layer_end=max(layers),
                     harvest_layers=layers,
                     use_attention_logits=cfg.gp.use_attention_logits,
+                    harvest_q_start=q_start,
                 )
                 out = {}
                 for l, row in harvests.items():
-                    row = jnp.maximum(row, -1e30)
-                    out[l] = _gather_rows(row, inputs["img_slots"], inputs["img_valid"])
+                    if q_start is not None:
+                        # [B, n_q, S, Hq] -> gather image-token key columns
+                        row = row.transpose(0, 2, 1, 3)  # [B, S, n_q, Hq]
+                        row = _gather_rows(row, inputs["img_slots"],
+                                           inputs["img_valid"])
+                        out[l] = row.transpose(0, 2, 1, 3)  # [B, n_q, N, Hq]
+                    else:
+                        row = jnp.maximum(row, -1e30)
+                        out[l] = _gather_rows(row, inputs["img_slots"],
+                                              inputs["img_valid"])
                 return out
 
             return self.model.apply(params, method=run)
 
         if not hasattr(self, "_harvest_jit"):
             self._harvest_jit = {}
-        if layers not in self._harvest_jit:
-            self._harvest_jit[layers] = jax.jit(fn)
-        return self._harvest_jit[layers]({"params": self.params}, inputs)
+        key = (layers, q_start)
+        if key not in self._harvest_jit:
+            self._harvest_jit[key] = jax.jit(fn)
+        return self._harvest_jit[key]({"params": self.params}, inputs)
 
     def glimpse_delayed(self, prep: PreparedInputs, use_ref_masks: bool = False,
                         training: bool = False):
@@ -791,6 +871,34 @@ class GlimpsePruneRunner:
         sampling + eos tracking) so per-token host dispatch is amortized; eos
         early exit is checked between chunks. temperature=0 -> greedy; >0 ->
         categorical sampling (GRPO, reference train_qwen_gp.py:1221-1247)."""
+        gen = self._run_decode(
+            logits, r_valid, r_pos, kv_k, kv_v, max_new_tokens, eos,
+            temperature, rng, chunk_size,
+        )
+        while True:
+            try:
+                next(gen)
+            except StopIteration as stop:
+                seqs = stop.value
+                break
+        return self._trim_eos(seqs, max_new_tokens, eos)
+
+    def _trim_eos(self, seqs, max_new_tokens, eos):
+        seqs = seqs[:, :max_new_tokens]
+        # replace everything after the first eos with eos; count generated
+        n_gen = np.zeros((seqs.shape[0],), dtype=np.int64)
+        for b in range(seqs.shape[0]):
+            hits = np.nonzero(seqs[b] == eos)[0]
+            end = int(hits[0]) + 1 if len(hits) else max_new_tokens
+            n_gen[b] = end if len(hits) else max_new_tokens
+            seqs[b, end:] = eos
+        return seqs, n_gen
+
+    def _run_decode(self, logits, r_valid, r_pos, kv_k, kv_v, max_new_tokens,
+                    eos, temperature, rng, chunk_size):
+        """Shared decode driver (generator): cache alloc + chunked jitted
+        scan, YIELDING each [B, chunk] token array as it lands — the
+        streaming hook. Returns seqs [B, n_chunks*chunk] via StopIteration."""
         cfg = self.cfg
         B = logits.shape[0]
         R = int(r_valid.shape[1])
@@ -834,7 +942,7 @@ class GlimpsePruneRunner:
 
             self._decode_chunk_jit = jax.jit(chunk_fn, donate_argnums=(3, 4, 5))
 
-        seqs = np.zeros((B, n_chunks * chunk), dtype=np.int64)
+        seqs = np.full((B, n_chunks * chunk), eos, dtype=np.int64)
         for ci in range(n_chunks):
             rng, sub = jax.random.split(rng)
             toks, next_token, done, k_cache, v_cache, kv_valid = self._decode_chunk_jit(
@@ -842,19 +950,56 @@ class GlimpsePruneRunner:
                 last_pos + ci * chunk, k_cache, v_cache, kv_valid,
                 jnp.int32(R + ci * chunk), sub,
             )
-            seqs[:, ci * chunk : (ci + 1) * chunk] = np.asarray(toks)
+            toks = np.asarray(toks)
+            seqs[:, ci * chunk : (ci + 1) * chunk] = toks
+            yield toks
             if bool(np.asarray(done).all()):
                 break
+        return seqs
 
-        seqs = seqs[:, :max_new_tokens]
-        # replace everything after the first eos with eos; count generated
-        n_gen = np.zeros((B,), dtype=np.int64)
-        for b in range(B):
-            hits = np.nonzero(seqs[b] == eos)[0]
-            end = int(hits[0]) + 1 if len(hits) else max_new_tokens
-            n_gen[b] = end if len(hits) else max_new_tokens
-            seqs[b, end:] = eos
-        return seqs, n_gen
+    def stream_generate(
+        self,
+        prep: PreparedInputs,
+        max_new_tokens: int = 128,
+        do_selection: bool = True,
+        use_ref_masks: bool = False,
+        eos_token_id: Optional[int] = None,
+        chunk_size: int = 4,
+        temperature: float = 0.0,
+        rng=None,
+    ):
+        """Streaming decode: yields [B, chunk] new-token arrays as they are
+        produced (reference demo_gp.py:90-209 streams through a
+        TextIteratorStreamer thread; here the chunked on-device scan IS the
+        increment — chunk_size=1 gives per-token streaming at one tunnel
+        round-trip per token, larger chunks amortize it).
+
+        The final GenerateResult (mask, prune ratio, eos-trimmed sequences)
+        is returned via StopIteration.value, i.e.
+        ``res = yield from runner.stream_generate(...)`` or the
+        generator's ``.value`` after exhaustion.
+        """
+        cfg = self.cfg
+        eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
+        assert do_selection, "streaming implemented for the GP path"
+        out = self._prefill(
+            {"params": self.params},
+            self._device_inputs(prep, use_ref_masks),
+            out_len=prep.out_len, use_ref_masks=use_ref_masks,
+        )
+        keep_img = np.asarray(out.keep_img)
+        mask_logits = np.asarray(out.mask_logits)
+        prune_ratio = 1.0 - keep_img.sum(1) / np.maximum(prep.n_img_tokens, 1)
+
+        seqs = yield from self._run_decode(
+            out.logits, out.valid, out.position_ids, out.kv_k, out.kv_v,
+            max_new_tokens, eos, temperature, rng, chunk_size,
+        )
+        seqs, n_gen = self._trim_eos(seqs, max_new_tokens, eos)
+        return GenerateResult(
+            sequences=seqs, num_generated=n_gen, keep_img=keep_img,
+            mask_logits=mask_logits, prune_ratio=prune_ratio,
+        )
 
     # ------------------------------------------------------------------ #
     # baseline compressors in the same harness (SURVEY.md §2.4)
@@ -870,13 +1015,29 @@ class GlimpsePruneRunner:
         contextual_ratio: float = 0.05,
         stages: Tuple[Tuple[int, float], ...] = ((8, 0.5), (16, 0.25), (24, 0.125)),
         eos_token_id: Optional[int] = None,
+        clip_text_ids=None,
     ) -> GenerateResult:
         """Run a baseline compressor end-to-end: visionzip / divprune /
-        cdpruner prune before the LLM; pdrop (staged) prunes inside it."""
+        cdpruner prune before the LLM; pdrop (staged) prunes inside it.
+
+        clip_text_ids [M, 77]: CDPruner question segments for the CLIP text
+        tower (LLaVA models built with with_text_tower=True) — switches the
+        relevance term to the reference's text-conditioned computation."""
         cfg = self.cfg
         eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
         B, N = prep.img_valid.shape
         inputs = self._device_inputs(prep, False)
+        if method == "cdpruner" and clip_text_ids is not None:
+            if not hasattr(self, "_cdp_rel_jit"):
+                self._cdp_rel_jit = jax.jit(
+                    lambda p, px, ids: self.model.apply(
+                        p, px, ids, method=self.model.cdpruner_relevance
+                    )
+                )
+            inputs["cdpruner_relevance_packed"] = self._cdp_rel_jit(
+                {"params": self.params}, inputs["patches"],
+                jnp.asarray(clip_text_ids),
+            )
         le_len = cfg.gp.le_length if cfg.gp.has_le else 0
         if le_len:  # compressors run without the glimpse token
             inputs["input_ids"] = inputs["input_ids"][:, :-le_len]

@@ -119,6 +119,42 @@ def patchify_image(
     return flat, (grid_t, grid_h, grid_w)
 
 
+def preprocess_video(
+    frames: np.ndarray,
+    patch_size: int = 14,
+    temporal_patch_size: int = 2,
+    merge_size: int = 2,
+    min_pixels: int = DEFAULT_MIN_PIXELS,
+    max_pixels: int = DEFAULT_MAX_PIXELS,
+    resized_hw: Optional[Tuple[int, int]] = None,
+) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+    """Video pipeline: per-frame resize (one shared smart_resize geometry)
+    -> normalize -> temporal patchify. frames [T, H, W, C] uint8 ->
+    (patches [t*h*w, C*tps*ps*ps], grid (t, h, w)) with t = ceil(T / tps)
+    (trailing frame repeated to fill the last temporal pair, HF convention).
+
+    Reference: the Qwen processor's video path feeds the same patchify with
+    grid_t > 1 (process_gp.py consumes `videos=` through
+    Qwen2VLImageProcessor._preprocess; mRoPE handles the temporal axis via
+    second_per_grid_ts, preprocessing/mrope.py get_rope_index)."""
+    frames = np.asarray(frames)
+    assert frames.ndim == 4, f"expected [T, H, W, C], got {frames.shape}"
+    if frames.shape[-1] == 4:
+        frames = frames[..., :3]
+    factor = patch_size * merge_size
+    if resized_hw is None:
+        resized_hw = smart_resize(
+            frames.shape[1], frames.shape[2], factor, min_pixels, max_pixels
+        )
+    resized = np.stack([
+        _bicubic_resize(f, resized_hw) if f.shape[:2] != tuple(resized_hw) else f
+        for f in frames
+    ])
+    return patchify_image(
+        normalize_image(resized), patch_size, temporal_patch_size, merge_size
+    )
+
+
 def preprocess_image(
     image: np.ndarray,
     patch_size: int = 14,

@@ -82,8 +82,13 @@ def get_rope_index(
             if text_len > 0:
                 txt = np.broadcast_to(np.arange(text_len), (3, text_len)) + st_idx
                 pos_parts.append(txt)
+            # HF casts second_per_grid_t to the int64 range_tensor dtype
+            # BEFORE the multiply (modeling_qwen2_5_vl.py:1093-1097), so
+            # fractional seconds-per-grid truncate to whole steps — matched
+            # here for positional parity with released checkpoints
             t_index = (
-                np.broadcast_to(np.arange(gt)[:, None], (gt, gh * gw)) * spgt * tokens_per_second
+                np.broadcast_to(np.arange(gt)[:, None], (gt, gh * gw))
+                * int(spgt) * tokens_per_second
             ).astype(np.int64).reshape(-1)
             h_index = np.broadcast_to(np.arange(gh)[None, :, None], (gt, gh, gw)).reshape(-1)
             w_index = np.broadcast_to(np.arange(gw)[None, None, :], (gt, gh, gw)).reshape(-1)

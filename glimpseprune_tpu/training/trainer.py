@@ -174,6 +174,7 @@ class GPTrainer:
         load_image: Optional[Callable] = None,
         tcfg: Optional[TrainerConfig] = None,
         collate: Optional[Callable] = None,
+        resume_from: Optional[str] = None,
     ):
         # training always remats decoder layers: the 3B glimpse train step
         # needs >16GB HBM without it; remat only changes the VJP so the
@@ -219,31 +220,80 @@ class GPTrainer:
         )
         self.state, self.frozen = init_train_state(params, self.optimizer)
         self.history: List[Dict[str, float]] = []
+        self._steps_per_epoch = steps_per_epoch
+        self._start_step = 0
+        if resume_from:
+            self.load(resume_from)
 
     @property
     def params(self) -> Dict[str, Any]:
         return {**self.frozen, **self.state.trainable}
 
     def save(self, directory: Optional[str] = None):
+        from flax import serialization
+
         from glimpseprune_tpu.persistence import save_new_modules
 
         directory = directory or self.tcfg.output_dir
         save_new_modules(self.params, self.cfg, directory)
         with open(os.path.join(directory, "train_log.json"), "w") as f:
             json.dump(self.history, f)
+        # resume state: optimizer moments + step counter next to the
+        # new-modules artifact (reference --resume_from_checkpoint reloads
+        # new modules and continues the step count, train_qwen_gp.py:1601-1608;
+        # we additionally keep the opt state so adamw moments survive)
+        payload = {
+            "opt_state": self.state.opt_state,
+            "step": np.asarray(self.state.step),
+        }
+        with open(os.path.join(directory, "trainer_state.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(payload))
         return directory
 
+    def load(self, directory: str):
+        """Resume from a checkpoint directory written by save()."""
+        from flax import serialization
+
+        from glimpseprune_tpu.persistence import load_new_modules
+
+        merged, _ = load_new_modules(self.params, directory)
+        trainable, _ = split_params(merged)
+        opt_state, step = self.state.opt_state, self.state.step
+        state_path = os.path.join(directory, "trainer_state.msgpack")
+        if os.path.exists(state_path):
+            with open(state_path, "rb") as f:
+                payload = serialization.from_bytes(
+                    {"opt_state": self.state.opt_state,
+                     "step": np.asarray(self.state.step)},
+                    f.read(),
+                )
+            opt_state = payload["opt_state"]
+            step = jnp.asarray(payload["step"])
+        self.state = TrainState(trainable=trainable, opt_state=opt_state, step=step)
+        log_path = os.path.join(directory, "train_log.json")
+        if os.path.exists(log_path):
+            with open(log_path) as f:
+                self.history = json.load(f)
+        self._start_step = int(step)
+        return self
+
     def train(self, max_steps: Optional[int] = None) -> List[Dict[str, float]]:
-        rng = jax.random.PRNGKey(self.tcfg.seed)
-        step = 0
+        base_rng = jax.random.PRNGKey(self.tcfg.seed)
+        step = self._start_step
+        start_epoch = step // self._steps_per_epoch
+        skip = step - start_epoch * self._steps_per_epoch
         t0 = time.perf_counter()
-        for epoch in range(self.tcfg.num_epochs):
-            for samples in self.dataset.batches(
+        for epoch in range(start_epoch, self.tcfg.num_epochs):
+            for bi, samples in enumerate(self.dataset.batches(
                 self.tcfg.batch_size, shuffle=True, seed=self.tcfg.seed + epoch
-            ):
+            )):
+                if epoch == start_epoch and bi < skip:
+                    continue  # resume mid-epoch without re-running batches
                 batch = self.collate(self.cfg, samples, self.tokenize,
                                      self.load_image, self.tcfg)
-                rng, sub = jax.random.split(rng)
+                # per-step fold_in (not a split chain) so a killed+resumed run
+                # sees the same dropout rng stream as an uninterrupted one
+                sub = jax.random.fold_in(base_rng, step)
                 self.state, metrics = self.step_fn(self.state, self.frozen, batch, sub)
                 step += 1
                 if step % self.tcfg.log_every == 0 or step == 1:

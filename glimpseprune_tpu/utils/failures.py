@@ -59,6 +59,48 @@ def with_oom_fallback(
     return decorator
 
 
+def all_hosts_agree_ok(ok: bool) -> bool:
+    """Cross-host failure agreement: True iff EVERY host succeeded.
+
+    The reference all-reduces a failure indicator so all ranks skip or
+    proceed together (warppers.py:443-494 oom_handler) — without it, a
+    multi-host step that OOMs on one host deadlocks the others in the next
+    collective. Every host must call this each step (success or failure);
+    single-host returns `ok` untouched.
+    """
+    from glimpseprune_tpu.utils.multihost import gather_objects
+
+    return all(gather_objects(bool(ok), max_bytes=64))
+
+
+def oom_resilient_step(skip_value: Any = None):
+    """Decorator (reference `oom_resilient`, warppers.py:443-494): catch OOM
+    in a per-step callable and coordinate the skip across hosts — if ANY
+    host OOMs, every host returns `skip_value` for that step."""
+
+    def decorator(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            ok, result, err = True, None, None
+            try:
+                result = fn(*args, **kwargs)
+            except Exception as e:
+                if not is_oom_error(e):
+                    raise
+                ok, err = False, e
+            if all_hosts_agree_ok(ok):
+                return result
+            if err is not None:
+                warnings.warn(f"{fn.__name__}: OOM — all hosts skip this step ({err})")
+            else:
+                warnings.warn(f"{fn.__name__}: another host OOMed — skipping in sync")
+            return skip_value
+
+        return wrapper
+
+    return decorator
+
+
 def enable_nan_checks(enabled: bool = True):
     """Turn on jax nan debugging (the reference has no sanitizer layer;
     SURVEY.md §5 recommends jax.debug_nans as the TPU equivalent)."""

@@ -57,3 +57,34 @@ def test_harvest_rows_api():
         assert np.isfinite(r).all()
     # log-prob rows: probabilities over visible keys <= 1
     assert float(np.exp(np.asarray(rows[1])).max()) <= 1.0 + 1e-5
+
+
+def test_harvest_rows_multi_query():
+    """Sep-model multi-query extraction (reference model_sep.py:53-72):
+    softmaxed rows for every query from q_start, matching the single-query
+    harvest at the last position."""
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(0)
+    prep, _ = build_batch(cfg, rng, with_labels=False)
+    _, params = init_params(cfg, prep)
+    runner = GlimpsePruneRunner(cfg, params)
+
+    S = prep.input_ids.shape[1]
+    q_start = S - 3
+    rows = runner.harvest_rows(prep, layers=(0, 1), q_start=q_start)
+    N = prep.img_valid.shape[1]
+    for r in rows.values():
+        r = np.asarray(r)
+        assert r.shape == (2, 3, N, cfg.text.num_attention_heads)
+        assert np.isfinite(r).all()
+        # softmax rows: per-query mass over image keys can't exceed 1
+        img_mass = np.where(np.asarray(prep.img_valid)[:, None, :, None], r, 0).sum(2)
+        assert (img_mass <= 1 + 1e-5).all()
+
+    # the last query's softmax row == exp(single-query log-prob row)
+    single = runner.harvest_rows(prep, layers=(0, 1))
+    np.testing.assert_allclose(
+        np.asarray(rows[1][:, -1]),
+        np.exp(np.asarray(single[1])) * np.asarray(prep.img_valid)[:, :, None],
+        rtol=1e-4, atol=1e-6,
+    )

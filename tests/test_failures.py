@@ -82,3 +82,53 @@ def test_debug_calls_and_profiler_trace(capsys, tmp_path, monkeypatch):
     assert any(os.scandir(tmp_path))
     with profiler_trace(None):
         pass
+
+
+def test_oom_resilient_step_cross_host_agreement(monkeypatch):
+    """All hosts skip together when any host OOMs (reference
+    warppers.py:443-494 all-reduces the failure indicator)."""
+    from glimpseprune_tpu.utils import failures
+
+    calls = []
+
+    # simulate 4 hosts: host 2 failed this step
+    monkeypatch.setattr(
+        "glimpseprune_tpu.utils.multihost.gather_objects",
+        lambda ok, max_bytes=64: ([True, True, ok, True], calls.append(ok))[0],
+    )
+
+    @failures.oom_resilient_step(skip_value="skipped")
+    def step():
+        return "result"
+
+    # local success but a remote host failed -> skip in sync
+    monkeypatch.setattr(
+        "glimpseprune_tpu.utils.multihost.gather_objects",
+        lambda ok, max_bytes=64: [True, True, False, ok],
+    )
+    with pytest.warns(UserWarning, match="another host OOMed"):
+        assert step() == "skipped"
+
+    # local OOM -> every host sees False and skips
+    monkeypatch.setattr(
+        "glimpseprune_tpu.utils.multihost.gather_objects",
+        lambda ok, max_bytes=64: [True, True, True, ok],
+    )
+
+    @failures.oom_resilient_step(skip_value=None)
+    def bad_step():
+        raise RuntimeError("RESOURCE_EXHAUSTED: out of memory on host")
+
+    with pytest.warns(UserWarning, match="all hosts skip"):
+        assert bad_step() is None
+
+    # all ok -> result flows through
+    assert step() == "result"
+
+    # non-OOM errors re-raise
+    @failures.oom_resilient_step()
+    def broken():
+        raise ValueError("boom")
+
+    with pytest.raises(ValueError):
+        broken()

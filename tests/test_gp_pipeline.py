@@ -142,3 +142,33 @@ def test_decode_chunk_boundaries_consistent(setup):
     s_small, n_small = runner._decode_loop(*args, 7, cfg.eos_token_id, chunk_size=2)
     np.testing.assert_array_equal(s_big, s_small)
     np.testing.assert_array_equal(n_big, n_small)
+
+
+def test_stream_generate_matches_generate(setup):
+    """Streaming decode (reference demo_gp.py streamer) emits exactly the
+    batch generate() tokens, incrementally."""
+    cfg, params, prompts, images, rng = setup
+    import jax
+
+    runner = GlimpsePruneRunner(cfg, params)
+    prep = prepare_inputs(cfg, prompts, images, seq_multiple=8, patch_multiple=16)
+
+    full = runner.generate(prep, max_new_tokens=8, do_selection=True,
+                           rng=jax.random.PRNGKey(0))
+
+    gen = runner.stream_generate(prep, max_new_tokens=8, chunk_size=3,
+                                 rng=jax.random.PRNGKey(0))
+    chunks, res = [], None
+    while True:
+        try:
+            chunks.append(next(gen))
+        except StopIteration as stop:
+            res = stop.value
+            break
+    streamed = np.concatenate(chunks, axis=1)[:, :8]
+    np.testing.assert_array_equal(res.sequences, full.sequences)
+    # pre-trim streamed tokens must agree on every generated position
+    for b in range(full.sequences.shape[0]):
+        n = int(full.num_generated[b])
+        np.testing.assert_array_equal(streamed[b, :n], full.sequences[b, :n])
+    np.testing.assert_array_equal(res.keep_img, full.keep_img)

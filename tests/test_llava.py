@@ -211,3 +211,160 @@ def test_llava_compressors(llava_setup):
         res = runner.generate_compressed(prep, method, max_new_tokens=3, **kw)
         assert res.sequences.shape == (2, 3), method
         assert (res.prune_ratio > 0).all(), method
+
+
+def test_clip_text_tower_parity_vs_hf():
+    """CLIPTextModelWithProjection parity: the CDPruner relevance text tower
+    (reference llava_cdpruner clip_encoder.py:38-46,77-87)."""
+    import torch
+    from transformers import CLIPTextConfig, CLIPTextModelWithProjection
+
+    import dataclasses
+
+    cc = dataclasses.replace(
+        tiny_clip_cfg(), with_text_tower=True, projection_dim=24,
+        text_depth=2, text_hidden_size=32, text_num_heads=4,
+        text_intermediate_size=64, text_vocab_size=128, text_max_positions=16,
+    )
+    hf_cfg = CLIPTextConfig(
+        vocab_size=cc.text_vocab_size, hidden_size=cc.text_hidden_size,
+        intermediate_size=cc.text_intermediate_size,
+        num_hidden_layers=cc.text_depth, num_attention_heads=cc.text_num_heads,
+        max_position_embeddings=cc.text_max_positions,
+        projection_dim=cc.projection_dim, hidden_act="quick_gelu",
+        eos_token_id=127, bos_token_id=126, pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = CLIPTextModelWithProjection(hf_cfg).eval()
+
+    rng = np.random.default_rng(2)
+    # segments: [bos, tokens..., eot(=max id), zero padding] — EOT pooling
+    # goes through argmax over ids (HF CLIP convention)
+    ids = np.zeros((3, cc.text_max_positions), dtype=np.int64)
+    for m in range(3):
+        n = 5 + m
+        ids[m, 0] = 126
+        ids[m, 1 : 1 + n] = rng.integers(3, 120, n)
+        ids[m, 1 + n] = 127
+    with torch.no_grad():
+        hf_out = hf(torch.tensor(ids)).text_embeds.numpy()
+
+    from glimpseprune_tpu.models.llava.clip import CLIPTextTower
+    from glimpseprune_tpu.models.llava.convert import convert_clip_text
+
+    tower = CLIPTextTower(
+        depth=cc.text_depth, hidden_size=cc.text_hidden_size,
+        num_heads=cc.text_num_heads, intermediate_size=cc.text_intermediate_size,
+        vocab_size=cc.text_vocab_size, max_positions=cc.text_max_positions,
+        projection_dim=cc.projection_dim,
+    )
+    params = convert_clip_text(hf.state_dict(), cc)
+    ours = tower.apply({"params": params}, jnp.array(ids))
+    np.testing.assert_allclose(np.asarray(ours), hf_out, rtol=3e-4, atol=3e-4)
+
+
+def test_clip_visual_projection_parity_vs_hf():
+    """post_layernorm + visual_projection over penultimate patch features
+    (the reference applies them to feature_select output, clip_encoder.py:92-94)."""
+    import torch
+    from transformers import CLIPVisionConfig, CLIPVisionModelWithProjection
+
+    import dataclasses
+
+    cc = dataclasses.replace(tiny_clip_cfg(), with_text_tower=True, projection_dim=24)
+    hf_cfg = CLIPVisionConfig(
+        hidden_size=cc.hidden_size, intermediate_size=cc.intermediate_size,
+        num_hidden_layers=cc.depth, num_attention_heads=cc.num_heads,
+        image_size=cc.image_size, patch_size=cc.patch_size,
+        projection_dim=cc.projection_dim, hidden_act="quick_gelu",
+    )
+    torch.manual_seed(0)
+    hf = CLIPVisionModelWithProjection(hf_cfg).eval()
+
+    rng = np.random.default_rng(0)
+    pixels = rng.normal(size=(2, cc.image_size, cc.image_size, 3)).astype(np.float32)
+    with torch.no_grad():
+        out = hf.vision_model(
+            torch.tensor(pixels.transpose(0, 3, 1, 2)), output_hidden_states=True
+        )
+        feats = out.hidden_states[-2][:, 1:]
+        ref = hf.visual_projection(hf.vision_model.post_layernorm(feats)).numpy()
+
+    sd = {("clip." + k if not k.startswith("visual_projection") else k): v
+          for k, v in hf.vision_model.state_dict().items()}
+    sd["visual_projection.weight"] = hf.visual_projection.weight
+    params = convert_clip(sd, cc)
+    tower = CLIPVisionTower(
+        depth=cc.depth, hidden_size=cc.hidden_size, num_heads=cc.num_heads,
+        intermediate_size=cc.intermediate_size, patch_size=cc.patch_size,
+        image_size=cc.image_size, feature_layer=-2,
+        with_projection=True, projection_dim=cc.projection_dim,
+    )
+    _, _, embeds = tower.apply({"params": params}, jnp.array(pixels),
+                               emit_embeds=True)
+    np.testing.assert_allclose(np.asarray(embeds), ref, rtol=3e-4, atol=3e-4)
+
+
+def test_cdpruner_text_conditioned_relevance():
+    """CDPruner with the reference's text-conditioned relevance end to end:
+    relevance = minmax(-(mean cos(img_embed, text_embed))) drives the DPP
+    (llava_cdpruner llava_arch.py:156-167)."""
+    import dataclasses
+
+    cfg = tiny_llava_config()
+    cc = dataclasses.replace(
+        tiny_clip_cfg(), with_text_tower=True, projection_dim=24,
+        text_depth=2, text_hidden_size=32, text_num_heads=4,
+        text_intermediate_size=64, text_vocab_size=128, text_max_positions=16,
+    )
+    rng = np.random.default_rng(0)
+    prompts = [[7, 8, cfg.image_token_id, 9, 10]]
+    images = [rng.integers(0, 255, (80, 100, 3), dtype=np.uint8)]
+    prep = prepare_llava_inputs(cfg, cc, prompts, images, seq_multiple=8)
+
+    model = Llava_GP(cfg, clip_cfg=cc)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(prep.input_ids), jnp.asarray(prep.valid),
+        jnp.asarray(prep.position_ids), jnp.asarray(prep.patches),
+        jnp.asarray(prep.vis_pos_ids), jnp.asarray(prep.full_seg),
+        jnp.asarray(prep.vis_valid), jnp.asarray(prep.packed_idx),
+        jnp.asarray(prep.img_slots), jnp.asarray(prep.img_valid),
+        jnp.asarray(prep.fuser.window_index), jnp.asarray(prep.fuser.reverse_index),
+        jnp.asarray(prep.fuser.segment_ids), jnp.asarray(prep.fuser.pos_ids),
+        jnp.asarray(prep.le_start), prep.out_len,
+    )
+    params = variables["params"]
+    # text tower params materialize only when the flag is on
+    assert "clip_text" in params
+    assert "visual_projection" in params["visual"]
+    runner = make_llava_runner(cfg, cc, params)
+
+    text_ids = np.zeros((2, cc.text_max_positions), dtype=np.int32)
+    text_ids[0, :4] = [126, 30, 40, 127]
+    text_ids[1, :3] = [126, 55, 127]
+
+    res = runner.generate_compressed(
+        prep, "cdpruner", max_new_tokens=3, visual_token_num=3,
+        clip_text_ids=text_ids,
+    )
+    assert res.sequences.shape == (1, 3)
+    assert res.keep_img.sum() == 3
+
+    # the relevance term matches a numpy recomputation from the towers
+    img_embeds = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(prep.patches), True,
+        method=lambda m, px, e: m.visual(px, emit_embeds=e),
+    )[2], dtype=np.float64)[0]
+    txt = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(text_ids),
+        method=lambda m, t: m.clip_text(t),
+    ), dtype=np.float64)
+    iN = img_embeds / np.linalg.norm(img_embeds, axis=-1, keepdims=True)
+    tN = txt / np.linalg.norm(txt, axis=-1, keepdims=True)
+    expected = -(iN @ tN.T).mean(-1)
+    got = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(prep.patches), jnp.asarray(text_ids),
+        method=model.cdpruner_relevance,
+    ))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)

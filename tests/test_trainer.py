@@ -127,3 +127,47 @@ def test_trainer_end_to_end(tmp_path):
         - np.asarray(params["learnable_embeddings"])
     ).max()
     assert changed > 0  # trained weights differ from init
+
+
+def test_trainer_resume(tmp_path):
+    """Kill-and-resume must reproduce an uninterrupted run's metric stream
+    (reference --resume_from_checkpoint, train_qwen_gp.py:1601-1608,1968)."""
+    cfg = tiny_test_config()
+    config, img_dir = make_corpus(tmp_path)
+    ds = GPDataset(config, img_dir=img_dir)
+
+    rng = np.random.default_rng(0)
+    prep, _ = build_batch(cfg, rng)
+    model, params = init_params(cfg, prep)
+
+    def tokenize(text):
+        return [5 + (ord(c) % 200) for c in text[:10]]
+
+    def make_tcfg(out):
+        return TrainerConfig(
+            batch_size=2, num_epochs=3, log_every=1, save_every=0,
+            output_dir=str(tmp_path / out), seq_multiple=8, patch_multiple=16,
+            learning_rate=3e-3,
+        )
+
+    # uninterrupted 6-step run
+    t_full = GPTrainer(cfg, model, params, ds, tokenize, tcfg=make_tcfg("full"))
+    hist_full = t_full.train(max_steps=6)
+
+    # 4 steps (crossing an epoch boundary: 3 steps/epoch), kill, resume, 2 more
+    t_a = GPTrainer(cfg, model, params, ds, tokenize, tcfg=make_tcfg("part"))
+    t_a.train(max_steps=4)
+    t_b = GPTrainer(cfg, model, params, ds, tokenize, tcfg=make_tcfg("part"),
+                    resume_from=str(tmp_path / "part"))
+    assert t_b._start_step == 4
+    hist_resumed = t_b.train(max_steps=6)
+
+    full_by_step = {h["step"]: h for h in hist_full}
+    res_by_step = {h["step"]: h for h in hist_resumed}
+    assert set(res_by_step) == set(full_by_step)
+    for step in (5, 6):
+        for key in ("loss", "loc_loss", "mask_iou"):
+            np.testing.assert_allclose(
+                res_by_step[step][key], full_by_step[step][key],
+                rtol=2e-4, err_msg=f"step {step} {key}",
+            )

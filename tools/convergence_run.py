@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Multi-hundred-step convergence run on a synthetic boxes dataset.
+
+Stand-in for the reference's <1 h / 20K-GQA base recipe (README.md:24,49):
+images contain a bright rectangle on noise; the bbox is the supervision
+target. The GP new-modules (fuser + glimpse embeddings) must learn to keep
+exactly the box tokens — loss falls and mask IoU climbs if the recipe
+converges. Writes train_log.json + a curve summary; --resume-from continues
+a killed run (reference --resume_from_checkpoint).
+
+Usage:
+  python tools/convergence_run.py --scale 3b --steps 300 --out ckpt/conv
+  python tools/convergence_run.py --scale 3b --steps 300 --out ckpt/conv \
+      --resume-from ckpt/conv      # continue after a kill
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import argparse
+
+import numpy as np
+
+
+def make_synth_corpus(root: str, n: int, img_side: int, seed: int = 0):
+    """Images: noise + one bright rectangle; label bbox = the rectangle."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    img_dir = os.path.join(root, "imgs", "cot", "synth")
+    os.makedirs(img_dir, exist_ok=True)
+    rows = []
+    for i in range(n):
+        arr = rng.integers(0, 90, (img_side, img_side, 3), dtype=np.uint8)
+        w = int(rng.integers(img_side // 6, img_side // 2))
+        h = int(rng.integers(img_side // 6, img_side // 2))
+        x0 = int(rng.integers(0, img_side - w))
+        y0 = int(rng.integers(0, img_side - h))
+        color = rng.integers(170, 255, (3,), dtype=np.uint8)
+        arr[y0 : y0 + h, x0 : x0 + w] = color
+        name = f"img{i}.jpg"
+        Image.fromarray(arr).save(os.path.join(img_dir, name), quality=92)
+        rows.append({
+            "question": "Where is the bright rectangle?",
+            "answer": f"at ({x0},{y0})",
+            "image": name,
+            "width": img_side,
+            "height": img_side,
+            "bboxs": [[float(x0), float(y0), float(x0 + w), float(y0 + h)]],
+            "dataset": "synth",
+            "split": "train",
+        })
+    jsonl = os.path.join(root, "synth_train.jsonl")
+    with open(jsonl, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return {
+        "datasets": [{
+            "json_path": jsonl,
+            "mapper": "cot_train",
+            "bbox_type": "xyxy",
+            "additional_mappers": ["norm_bboxes"],
+        }]
+    }, os.path.join(root, "imgs")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", default="3b", choices=["tiny", "1b", "3b", "7b"])
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--n-samples", type=int, default=256)
+    ap.add_argument("--img-side", type=int, default=560)
+    ap.add_argument("--batch-size", type=int, default=1)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--out", default="checkpoints/convergence")
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--resume-from", default=None)
+    ap.add_argument("--save-every", type=int, default=50)
+    args = ap.parse_args()
+
+    import jax
+
+    from glimpseprune_tpu.training.data import GPDataset
+    from glimpseprune_tpu.training.trainer import GPTrainer, TrainerConfig
+
+    data_root = args.data_root or os.path.join(args.out, "data")
+    os.makedirs(data_root, exist_ok=True)
+    config, img_dir = make_synth_corpus(data_root, args.n_samples, args.img_side)
+
+    if args.scale == "tiny":
+        from tools.demo import make_tiny
+
+        cfg, params, tok = make_tiny()
+        seq_mult, patch_mult = 8, 16
+    else:
+        import jax.numpy as jnp
+
+        from bench import build_cfg
+        from glimpseprune_tpu.models.qwen2_5_vl.gp_model import Qwen2_5_VL_GP
+        from glimpseprune_tpu.models.qwen2_5_vl.runner import prepare_inputs
+
+        cfg = build_cfg(args.scale)
+        seq_mult, patch_mult = 64, 256
+
+        def tok(t):
+            return [5 + (ord(c) % 2000) for c in t]
+
+        # random-init frozen base (no checkpoint in this environment): the GP
+        # modules still converge on the synthetic task — the ViT taps of a
+        # frozen random tower carry the box position
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (args.img_side, args.img_side, 3), dtype=np.uint8)
+        prompt = ([5, 6] + [cfg.vision_start_token_id, cfg.image_token_id,
+                            cfg.vision_end_token_id] + [7, 8])
+        prep = prepare_inputs(cfg, [prompt], [img], seq_multiple=seq_mult,
+                              patch_multiple=patch_mult,
+                              normed_bboxes=[[[0.2, 0.2, 0.5, 0.5]]],
+                              answer_ids=[[9, 10]])
+        model0 = Qwen2_5_VL_GP(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+        init_jit = jax.jit(model0.init, static_argnums=(16,))
+        params = init_jit(
+            jax.random.PRNGKey(0),
+            jnp.asarray(prep.input_ids), jnp.asarray(prep.valid),
+            jnp.asarray(prep.position_ids), jnp.asarray(prep.patches),
+            jnp.asarray(prep.vis_pos_ids), jnp.asarray(prep.full_seg),
+            jnp.asarray(prep.vis_valid), jnp.asarray(prep.packed_idx),
+            jnp.asarray(prep.img_slots), jnp.asarray(prep.img_valid),
+            jnp.asarray(prep.fuser.window_index), jnp.asarray(prep.fuser.reverse_index),
+            jnp.asarray(prep.fuser.segment_ids), jnp.asarray(prep.fuser.pos_ids),
+            jnp.asarray(prep.le_start), prep.out_len,
+        )["params"]
+
+    from glimpseprune_tpu.models.qwen2_5_vl.gp_model import Qwen2_5_VL_GP
+
+    import jax.numpy as jnp
+
+    dtype = jnp.float32 if args.scale == "tiny" else jnp.bfloat16
+    model = Qwen2_5_VL_GP(cfg, dtype=dtype,
+                          param_dtype=jnp.float32 if args.scale == "tiny" else jnp.bfloat16)
+
+    def tokenize(t):
+        return list(tok(t) if callable(tok) else tok.encode(t))
+
+    dataset = GPDataset(config, img_dir=img_dir, tokenize=tokenize)
+    print(f"dataset: {len(dataset)} synthetic samples, device={jax.devices()[0]}")
+
+    tcfg = TrainerConfig(
+        learning_rate=args.lr, batch_size=args.batch_size,
+        num_epochs=max(1, args.steps * args.batch_size // max(len(dataset), 1) + 1),
+        log_every=10, save_every=args.save_every, output_dir=args.out,
+        seq_multiple=seq_mult, patch_multiple=patch_mult,
+    )
+    trainer = GPTrainer(cfg, model, params, dataset, tokenize, tcfg=tcfg,
+                        resume_from=args.resume_from)
+    history = trainer.train(max_steps=args.steps)
+
+    print("\nstep   loss     loc     le      IoU    prec   recall")
+    for h in history:
+        if h["step"] % 50 == 0 or h["step"] == 1 or h is history[-1]:
+            print(f"{h['step']:5d} {h['loss']:7.3f} {h['loc_loss']:7.3f} "
+                  f"{h['le_loss']:7.3f} {h['mask_iou']:6.3f} "
+                  f"{h['mask_precision']:6.3f} {h['mask_recall']:6.3f}")
+    first, last = history[0], history[-1]
+    print(f"\nloss {first['loss']:.3f} -> {last['loss']:.3f}; "
+          f"IoU {first['mask_iou']:.3f} -> {last['mask_iou']:.3f} "
+          f"in {last['step']} steps "
+          f"({(last['elapsed_s'] / max(last['step'] - trainer._start_step, 1)):.2f}s/step)")
+
+
+if __name__ == "__main__":
+    main()

@@ -92,6 +92,11 @@ def main():
     ap.add_argument("--overlay", default=None, help="write dimmed-mask PNG here")
     ap.add_argument("--int8", action="store_true",
                     help="weight-only int8 serving (7B fits one 16GB chip)")
+    ap.add_argument("--stream", action="store_true",
+                    help="print tokens as they decode (reference demo_gp.py "
+                    "TextIteratorStreamer); implies do_selection")
+    ap.add_argument("--stream-chunk", type=int, default=4,
+                    help="tokens per streamed increment (1 = per-token)")
     args = ap.parse_args()
 
     from PIL import Image
@@ -130,16 +135,46 @@ def main():
     )
     prep = prepare_inputs(cfg, [prompt], [image], seq_multiple=8, patch_multiple=16)
     runner = GlimpsePruneRunner(cfg, params)
-    res = runner.generate(
-        prep, max_new_tokens=args.max_new_tokens,
-        do_selection=not args.no_selection,
-    )
-    answer = tok.decode(
-        [int(x) for x in res.sequences[0, : res.num_generated[0]]],
-        skip_special_tokens=True,
-    )
-    print(f"\nQ: {args.question}")
-    print(f"A: {answer}")
+    if args.stream:
+        print(f"\nQ: {args.question}")
+        print("A: ", end="", flush=True)
+        gen = runner.stream_generate(
+            prep, max_new_tokens=args.max_new_tokens,
+            chunk_size=args.stream_chunk,
+        )
+        res = None
+        emitted = 0
+        while True:
+            try:
+                toks = next(gen)
+            except StopIteration as stop:
+                res = stop.value
+                break
+            piece = [int(x) for x in toks[0] if int(x) != cfg.eos_token_id]
+            if piece:
+                print(tok.decode(piece, skip_special_tokens=True),
+                      end="", flush=True)
+                emitted += len(piece)
+            if len(piece) < toks.shape[1]:
+                break
+        # drain the generator to get the final result (mask, prune ratio)
+        while res is None:
+            try:
+                next(gen)
+            except StopIteration as stop:
+                res = stop.value
+        print()
+    else:
+        res = runner.generate(
+            prep, max_new_tokens=args.max_new_tokens,
+            do_selection=not args.no_selection,
+        )
+        answer = tok.decode(
+            [int(x) for x in res.sequences[0, : res.num_generated[0]]],
+            skip_special_tokens=True,
+        )
+        print(f"\nQ: {args.question}")
+        print(f"A: {answer}")
     if res.keep_img is not None:
         gh = int(prep.grids[0][1] // cfg.vision.spatial_merge_size)
         gw = int(prep.grids[0][2] // cfg.vision.spatial_merge_size)

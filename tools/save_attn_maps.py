@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--layers", type=int, nargs="*", default=None,
                     help="decoder layers to dump (default: the config's selected_layers)")
     ap.add_argument("--per-head", action="store_true")
+    ap.add_argument("--q-start", type=int, default=None,
+                    help="also dump the Sep-model multi-query maps: softmaxed "
+                    "attention over image tokens for EVERY query position "
+                    "from this index on (reference model_sep.py:53-72), "
+                    "written as one npz of [n_query, n_img_tokens, heads] "
+                    "per layer plus per-query heatmap PNGs")
     ap.add_argument("--out-dir", default="attn_maps")
     args = ap.parse_args()
 
@@ -53,10 +59,9 @@ def main():
             params, cfg = load_new_modules(params, args.new_modules)
 
     layers = tuple(args.layers) if args.layers else tuple(cfg.gp.selected_layers)
-    # harvest at the requested layers (config drives which rows are emitted)
-    cfg = cfg.replace_gp(
-        selected_layers=layers, reduce_layer=max(max(layers), cfg.gp.reduce_layer)
-    )
+    # NOTE: --layers only widens the HARVEST (runner.harvest_rows takes any
+    # layer set); the fuser keeps the checkpoint's selected_layers — its
+    # attn_in_proj shape is bound to them
 
     image = np.asarray(Image.open(args.image).convert("RGB"))
     prompt = (
@@ -110,6 +115,25 @@ def main():
         out = os.path.join(args.out_dir, f"fused_map_{li}.png")
         Image.fromarray(blend.astype(np.uint8)).save(out)
         print(out)
+
+    if args.q_start is not None:
+        # Sep-parity multi-query maps: every query position from q_start
+        rows = runner.harvest_rows(prep, layers=layers, q_start=args.q_start)
+        for l, r in rows.items():
+            r = np.asarray(r[0], dtype=np.float32)  # [n_q, N_img, Hq]
+            npz_path = os.path.join(args.out_dir, f"seq_attns_layer{l}.npz")
+            np.savez_compressed(npz_path, attns=r, grid_hw=np.array([gh, gw]))
+            print(npz_path)
+            mean = r[:, : gh * gw].mean(-1)  # head-mean [n_q, gh*gw]
+            for qi in range(mean.shape[0]):
+                amap = mean[qi].reshape(gh, gw)
+                amap = (amap - amap.min()) / max(amap.max() - amap.min(), 1e-6)
+                heat = np.kron(amap, np.ones((h // gh + 1, w // gw + 1)))[:h, :w]
+                blend = (image * 0.4
+                         + np.stack([heat * 255, heat * 80, 80 - heat * 80], -1) * 0.6)
+                out = os.path.join(args.out_dir, f"seq_attn_l{l}_q{qi:03d}.png")
+                Image.fromarray(blend.astype(np.uint8)).save(out)
+            print(f"layer {l}: {mean.shape[0]} query maps")
 
 
 if __name__ == "__main__":

@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--output-dir", default="checkpoints/gp")
     ap.add_argument("--max-steps", type=int, default=None)
+    ap.add_argument("--resume-from", default=None,
+                    help="checkpoint dir: reload new modules + opt state and "
+                    "continue the step count (reference --resume_from_checkpoint, "
+                    "train_qwen_gp.py:1601-1608,1968)")
     ap.add_argument("--mesh", action="store_true", help="shard over all devices")
     args = ap.parse_args()
 
@@ -62,7 +66,8 @@ def main():
         params = shard_params(params, mesh)
         print(f"mesh: {dict(mesh.shape)}")
 
-    trainer = GPTrainer(cfg, model, params, dataset, tokenize, tcfg=tcfg)
+    trainer = GPTrainer(cfg, model, params, dataset, tokenize, tcfg=tcfg,
+                        resume_from=args.resume_from)
     history = trainer.train(max_steps=args.max_steps)
     print(f"final metrics: {history[-1] if history else {}}")
     print(f"checkpoint: {trainer.save()}")
