@@ -44,6 +44,11 @@ def _dense(x, p, dtype):
         # weight-only int8 (quantization.py): dequant fuses into the matmul;
         # only this layer's bf16 kernel materializes inside the scan
         w = p["kernel_q"].astype(dtype) * p["kernel_scale"].astype(dtype)
+    elif "kernel_q4" in p:
+        # 4-bit tier: two nibbles per int8 byte + group-64 scales
+        from glimpseprune_tpu.quantization import dequant_int4
+
+        w = dequant_int4(p, dtype)
     else:
         w = p["kernel"].astype(dtype)
     x = x.astype(dtype)
@@ -180,10 +185,11 @@ class TextDecoder(nn.Module):
         self.embed_tokens = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype,
                                      param_dtype=self.param_dtype)
         init_fn = _init_layer_stack(c, self.param_dtype)
-        if c.weight_quant == "int8":
+        if c.weight_quant in ("int8", "int4"):
             from glimpseprune_tpu.quantization import quantize_structure
             _base = init_fn
-            init_fn = lambda rng: quantize_structure(_base(rng))
+            _mode = c.weight_quant
+            init_fn = lambda rng: quantize_structure(_base(rng), mode=_mode)
         self.layers = self.param("layers", init_fn)
         self.norm_weight = self.param(
             "norm", lambda rng: {"weight": jnp.ones((c.hidden_size,), jnp.float32)}

@@ -26,7 +26,11 @@ import jax.numpy as jnp
 
 from glimpseprune_tpu.config import VisionConfig
 from glimpseprune_tpu.models.layers import ACT2FN
-from glimpseprune_tpu.ops.attention import batched_window_attention, segment_attention
+from glimpseprune_tpu.ops.attention import (
+    batched_window_attention,
+    fused_window_attention,
+    segment_attention,
+)
 from glimpseprune_tpu.ops.rope import apply_rotary, vision_rope_cos_sin
 
 
@@ -46,6 +50,11 @@ def _dense(x, p, dtype):
         # weight-only int8 (quantization.py): dequant fuses into the matmul;
         # only this layer's bf16 kernel materializes inside the scan
         w = p["kernel_q"].astype(dtype) * p["kernel_scale"].astype(dtype)
+    elif "kernel_q4" in p:
+        # 4-bit tier: two nibbles per int8 byte + group-64 scales
+        from glimpseprune_tpu.quantization import dequant_int4
+
+        w = dequant_int4(p, dtype)
     else:
         w = p["kernel"].astype(dtype)
     y = x.astype(dtype) @ w
@@ -67,13 +76,19 @@ def _block_qkv(cfg: VisionConfig, pb, x, cos, sin, dtype):
 def _block_fwd(cfg: VisionConfig, pb, x, cos, sin, segment_ids, valid, wp: int,
                dtype, emit_importance: bool = False):
     """One ViT block; wp > 0 selects the dense window path."""
-    h = _rms(x, pb["norm1"]["weight"])
-    q, k, v = _block_qkv(cfg, pb, h, cos, sin, dtype)
-    if wp > 0:
-        attn = batched_window_attention(q, k, v, valid, wp)
-    else:
-        attn = segment_attention(q, k, v, segment_ids)
     p = x.shape[0]
+    h = _rms(x, pb["norm1"]["weight"])
+    if wp > 0 and not emit_importance:
+        # fused rope+attention over the qkv output's natural layout
+        qkv = _dense(h, pb["attn"]["qkv"], dtype)
+        qkv = qkv.reshape(p, 3, cfg.num_heads, cfg.head_dim)
+        attn = fused_window_attention(qkv, cos, sin, valid, wp)
+    else:
+        q, k, v = _block_qkv(cfg, pb, h, cos, sin, dtype)
+        if wp > 0:
+            attn = batched_window_attention(q, k, v, valid, wp)
+        else:
+            attn = segment_attention(q, k, v, segment_ids)
     x = x + _dense(attn.reshape(p, cfg.hidden_size), pb["attn"]["proj"], dtype)
 
     importance = None
@@ -151,10 +166,11 @@ class VisionTransformer(nn.Module):
         self.patch_embed = nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype,
                                     param_dtype=self.param_dtype)
         init_fn = _init_block_stack(c, c.depth, self.param_dtype)
-        if c.weight_quant == "int8":
+        if c.weight_quant in ("int8", "int4"):
             from glimpseprune_tpu.quantization import quantize_structure
             _base = init_fn
-            init_fn = lambda rng: quantize_structure(_base(rng))
+            _mode = c.weight_quant
+            init_fn = lambda rng: quantize_structure(_base(rng), mode=_mode)
         self.blocks = self.param("blocks", init_fn)
         self.merger_ln_q = self.param(
             "merger_ln_q", lambda rng: {"weight": jnp.ones((c.hidden_size,), jnp.float32)}

@@ -129,6 +129,37 @@ def batched_window_attention(
     return out.reshape(p, h, d)
 
 
+def fused_window_attention(
+    qkv: jnp.ndarray,    # [P, 3, H, D] qkv-projection output, pre-rope
+    cos: jnp.ndarray,    # [P, D]
+    sin: jnp.ndarray,    # [P, D]
+    valid: jnp.ndarray,  # [P] bool
+    wp: int,
+) -> jnp.ndarray:
+    """Rope + windowed attention in one pass -> [P, H, D].
+
+    TPU: one fused pallas program per window consuming the qkv matmul output
+    in natural layout (the unfused path's q/k/v HBM transposes + separate
+    rope passes cost ~22ms/block at 64k patches vs 6ms of attention math).
+    XLA fallback unpacks and runs the reference path."""
+    if ATTENTION_IMPL != "xla" and (
+        ATTENTION_IMPL == "flash_interpret" or jax.default_backend() == "tpu"
+    ):
+        from glimpseprune_tpu.ops.pallas.window_attention import (
+            window_attention_fused,
+        )
+
+        return window_attention_fused(
+            qkv, cos, sin, valid, wp, interpret=ATTENTION_IMPL == "flash_interpret"
+        )
+    from glimpseprune_tpu.ops.rope import apply_rotary
+
+    q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+    q = apply_rotary(q[None], cos[None].astype(q.dtype), sin[None].astype(q.dtype))[0]
+    k = apply_rotary(k[None], cos[None].astype(k.dtype), sin[None].astype(k.dtype))[0]
+    return batched_window_attention(q, k, v, valid, wp)
+
+
 def causal_segment_attention(
     q: jnp.ndarray,  # [B, S, Hq, D]
     k: jnp.ndarray,  # [B, S, Hkv, D]

@@ -51,6 +51,104 @@ def _kernel(vmask_ref, q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
         o_ref[h] = o.astype(o_ref.dtype)
 
 
+def _fused_kernel(vmask_ref, qkv_ref, cos_ref, sin_ref, rot_ref, o_ref, *,
+                  heads: int, scale: float):
+    """One window, rope fused: qkv [wp, 3, H, D] is the qkv matmul output in
+    its NATURAL layout (no host-side transposes — those cost ~16ms/block in
+    HBM relayouts at 64k patches, vs 6ms for the whole attention kernel).
+    rot [D, D] is the rotate_half permutation-with-sign matrix, so
+    rope(x) = x*cos + (x@rot)*sin rides the MXU instead of lane shuffles."""
+    wp = qkv_ref.shape[0]
+    vrow = vmask_ref[:, :] > 0  # [1, wp]
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (wp, wp), 0)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (wp, wp), 1)
+    allowed = jnp.broadcast_to(vrow, (wp, wp)) | (qpos == kpos)
+    cos = cos_ref[:]  # [wp, D]
+    sin = sin_ref[:]
+    rot = rot_ref[:]  # [D, D]
+
+    def rope(x):
+        xr = jax.lax.dot_general(
+            x, rot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        return x * cos + xr * sin
+
+    for h in range(heads):  # static unroll: tiny 2-D dots per head
+        q = rope(qkv_ref[:, 0, h, :])
+        k = rope(qkv_ref[:, 1, h, :])
+        v = qkv_ref[:, 2, h, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        s = jnp.where(allowed, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # output block is [H, wp, D]: leading-dim stores are the Mosaic-
+        # supported pattern (a [wp, h-slice, D] store fails shape inference)
+        o_ref[h] = o.astype(o_ref.dtype)
+
+
+def rotate_half_matrix(d: int, dtype=jnp.float32) -> jnp.ndarray:
+    """R with x @ R == rotate_half(x) (ops/rope.py convention)."""
+    import numpy as np
+
+    half = d // 2
+    r = np.zeros((d, d), dtype=np.float32)
+    for i in range(half):
+        r[i + half, i] = -1.0  # rh[:half] = -x[half:]
+        r[i, i + half] = 1.0   # rh[half:] = x[:half]
+    return jnp.asarray(r, dtype=dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("wp", "interpret"))
+def window_attention_fused(
+    qkv: jnp.ndarray,     # [P, 3, H, D] qkv-projection output, pre-rope
+    cos: jnp.ndarray,     # [P, D]
+    sin: jnp.ndarray,     # [P, D]
+    valid: jnp.ndarray,   # [P] bool
+    wp: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Rope + window attention in one pallas pass -> [P, H, D] (natural
+    layout in AND out; see _fused_kernel)."""
+    p, three, h, d = qkv.shape
+    assert three == 3
+    nw = p // wp
+    scale = 1.0 / (d ** 0.5)
+    qkvw = qkv.reshape(nw, wp, 3, h, d)
+    cosw = cos.reshape(nw, wp, d).astype(qkv.dtype)
+    sinw = sin.reshape(nw, wp, d).astype(qkv.dtype)
+    vmask = valid.reshape(nw, 1, wp).astype(jnp.int32)
+    rot = rotate_half_matrix(d, qkv.dtype)
+
+    kernel = functools.partial(_fused_kernel, heads=h, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nw,),
+        in_specs=[
+            pl.BlockSpec((None, 1, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, wp, 3, h, d), lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, wp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, wp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, h, wp, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nw, h, wp, d), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(vmask, qkvw, cosw, sinw, rot)
+    return out.transpose(0, 2, 1, 3).reshape(p, h, d)
+
+
 @functools.partial(jax.jit, static_argnames=("wp", "interpret"))
 def window_attention(
     q: jnp.ndarray,       # [P, H, D], P = n_win * wp

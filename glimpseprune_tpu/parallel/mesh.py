@@ -50,20 +50,20 @@ _RULES: Tuple[Tuple[str, P], ...] = (
     # ---- text decoder
     (r"text/embed_tokens/embedding", P("model", None)),
     # stacked layers: leading axis is depth (scanned), never sharded
-    (r"text/layers/self_attn/(q_proj|k_proj|v_proj)/kernel(_q)?", P(None, None, "model")),
+    (r"text/layers/self_attn/(q_proj|k_proj|v_proj)/kernel(_q|_q4)?", P(None, None, "model")),
     (r"text/layers/self_attn/(q_proj|k_proj|v_proj)/bias", P(None, "model")),
-    (r"text/layers/self_attn/o_proj/kernel(_q)?", P(None, "model", None)),
-    (r"text/layers/mlp/(gate_proj|up_proj)/kernel(_q)?", P(None, None, "model")),
+    (r"text/layers/self_attn/o_proj/kernel(_q|_q4)?", P(None, "model", None)),
+    (r"text/layers/mlp/(gate_proj|up_proj)/kernel(_q|_q4)?", P(None, None, "model")),
     (r"text/layers/mlp/(gate_proj|up_proj)/bias", P(None, "model")),
-    (r"text/layers/mlp/down_proj/kernel(_q)?", P(None, "model", None)),
+    (r"text/layers/mlp/down_proj/kernel(_q|_q4)?", P(None, "model", None)),
     (r"text/lm_head/kernel", P(None, "model")),
     # ---- vision tower (stacked blocks: leading depth axis unsharded)
-    (r"visual/blocks/attn/qkv/kernel(_q)?", P(None, None, "model")),
+    (r"visual/blocks/attn/qkv/kernel(_q|_q4)?", P(None, None, "model")),
     (r"visual/blocks/attn/qkv/bias", P(None, "model")),
-    (r"visual/blocks/attn/proj/kernel(_q)?", P(None, "model", None)),
-    (r"visual/blocks/mlp/(gate_proj|up_proj)/kernel(_q)?", P(None, None, "model")),
+    (r"visual/blocks/attn/proj/kernel(_q|_q4)?", P(None, "model", None)),
+    (r"visual/blocks/mlp/(gate_proj|up_proj)/kernel(_q|_q4)?", P(None, None, "model")),
     (r"visual/blocks/mlp/(gate_proj|up_proj)/bias", P(None, "model")),
-    (r"visual/blocks/mlp/down_proj/kernel(_q)?", P(None, "model", None)),
+    (r"visual/blocks/mlp/down_proj/kernel(_q|_q4)?", P(None, "model", None)),
     # int8 scales [.., 1, out] are tiny: replicate (fall through to P())
     (r"visual/merger_fc1/kernel", P(None, "model")),
     (r"visual/merger_fc1/bias", P("model")),

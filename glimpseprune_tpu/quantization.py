@@ -84,6 +84,94 @@ def quantize_int8(
     return walk(params, "")
 
 
+INT4_GROUP = 64  # contraction-dim group size per scale (bitsandbytes uses 64)
+
+
+def _int4_group(fin: int, group: int = INT4_GROUP) -> int:
+    """Largest group <= INT4_GROUP for which fin splits into 2*g-aligned
+    packing (small test configs shrink the group instead of losing the
+    tier); 0 = fall back to int8."""
+    g = group
+    while g >= 8 and fin % (2 * g) != 0:
+        g //= 2
+    return g if g >= 8 else 0
+
+
+def quantize_int4(
+    params: Dict[str, Any],
+    include: Sequence[str] = DEFAULT_INCLUDE,
+    group: int = INT4_GROUP,
+) -> Dict[str, Any]:
+    """4-bit weight-only tier (reference llava builder load_4bit,
+    llava_gp/model/builder.py:27-100). Symmetric int4 per
+    (contraction-group, output-channel), two nibbles packed per int8 byte —
+    jnp.int4 device arrays recurse in this machine's TPU plugin, so packing
+    is explicit and portable:
+
+        {"kernel_q4": int8 [..., in/2, out],       # row 2i in low nibble,
+                                                   # row 2i+1 in high nibble
+         "kernel_scale4": f32 [..., in/group, out]}
+    """
+
+    def walk(node, prefix):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for name, child in node.items():
+            path = f"{prefix}/{name}" if prefix else name
+            if (
+                name == "kernel"
+                and _match(path, include)
+                and getattr(child, "ndim", 0) >= 2
+            ):
+                w = np.asarray(child, dtype=np.float32)
+                lead, fin, fout = w.shape[:-2], w.shape[-2], w.shape[-1]
+                g = _int4_group(fin, group)
+                if g == 0:
+                    # odd contraction dims (e.g. the 1176-wide patch embed)
+                    # take the int8 tier — matches quantize_structure
+                    amax = np.abs(w).max(axis=-2, keepdims=True)
+                    scale = np.maximum(amax, 1e-8) / 127.0
+                    q = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
+                    out["kernel_q"] = jnp.asarray(q)
+                    out["kernel_scale"] = jnp.asarray(scale.astype(np.float32))
+                    continue
+                wg = w.reshape(lead + (fin // g, g, fout))
+                scale = np.maximum(np.abs(wg).max(axis=-2), 1e-8) / 7.0
+                q = np.clip(
+                    np.rint(wg / scale[..., None, :]), -7, 7
+                ).astype(np.int8).reshape(lead + (fin, fout))
+                lo = q[..., 0::2, :]
+                hi = q[..., 1::2, :]
+                packed = ((lo & 0x0F) | (hi << 4)).astype(np.int8)
+                out["kernel_q4"] = jnp.asarray(packed)
+                out["kernel_scale4"] = jnp.asarray(scale.astype(np.float32))
+            else:
+                out[name] = walk(child, path)
+        return out
+
+    return walk(params, "")
+
+
+def dequant_int4(p: Dict[str, Any], dtype):
+    """kernel_q4/kernel_scale4 -> bf16 kernel (used inside _dense at matmul
+    time; one layer's weights materialize per scan step, like int8). The
+    group size is inferred from the scale shape."""
+    packed = p["kernel_q4"]
+    scale = p["kernel_scale4"]
+    lead, fin2, fout = packed.shape[:-2], packed.shape[-2], packed.shape[-1]
+    group = (fin2 * 2) // scale.shape[-2]
+    # arithmetic shifts sign-extend each nibble
+    lo = jnp.left_shift(packed, 4)
+    lo = jnp.right_shift(lo, 4)
+    hi = jnp.right_shift(packed, 4)
+    q = jnp.stack([lo, hi], axis=-2)  # [..., in/2, 2, out]
+    q = q.reshape(lead + (fin2 * 2, fout))
+    qg = q.reshape(lead + (fin2 * 2 // group, group, fout)).astype(dtype)
+    w = qg * scale[..., None, :].astype(dtype)
+    return w.reshape(lead + (fin2 * 2, fout))
+
+
 def dequantize_int8(params: Dict[str, Any], dtype=jnp.bfloat16) -> Dict[str, Any]:
     """Inverse transform (materializes bf16 kernels; for debugging/export)."""
 
@@ -116,10 +204,10 @@ def quantized_bytes(params) -> int:
     )
 
 
-def quantize_structure(tree):
-    """Shape-only transform matching quantize_int8's output structure.
+def quantize_structure(tree, mode: str = "int8", group: int = INT4_GROUP):
+    """Shape-only transform matching quantize_int8/int4's output structure.
 
-    Used by the stacked-layer initializers when cfg.weight_quant == "int8":
+    Used by the stacked-layer initializers when cfg.weight_quant is set:
     flax validates a stored param's pytree against the initializer under
     eval_shape, so the module must DECLARE the quantized structure to accept
     quantized weights. Values here are placeholders (zeros/ones)."""
@@ -130,10 +218,20 @@ def quantize_structure(tree):
         out = {}
         for name, child in node.items():
             if name == "kernel" and getattr(child, "ndim", 0) >= 2:
-                out["kernel_q"] = jnp.zeros(child.shape, jnp.int8)
-                out["kernel_scale"] = jnp.ones(
-                    child.shape[:-2] + (1, child.shape[-1]), jnp.float32
-                )
+                fin, fout = child.shape[-2], child.shape[-1]
+                g = _int4_group(fin, group) if mode == "int4" else 0
+                if g:
+                    out["kernel_q4"] = jnp.zeros(
+                        child.shape[:-2] + (fin // 2, fout), jnp.int8
+                    )
+                    out["kernel_scale4"] = jnp.ones(
+                        child.shape[:-2] + (fin // g, fout), jnp.float32
+                    )
+                else:
+                    out["kernel_q"] = jnp.zeros(child.shape, jnp.int8)
+                    out["kernel_scale"] = jnp.ones(
+                        child.shape[:-2] + (1, fout), jnp.float32
+                    )
             else:
                 out[name] = walk(child)
         return out
@@ -141,13 +239,13 @@ def quantize_structure(tree):
     return walk(tree)
 
 
-def quantized_config(cfg):
-    """ModelConfig -> same config with int8 weight declarations in both
-    towers (pair with quantize_int8(params) when building a runner)."""
+def quantized_config(cfg, mode: str = "int8"):
+    """ModelConfig -> same config with int8/int4 weight declarations in both
+    towers (pair with quantize_int8/int4(params) when building a runner)."""
     import dataclasses
 
     return dataclasses.replace(
         cfg,
-        text=dataclasses.replace(cfg.text, weight_quant="int8"),
-        vision=dataclasses.replace(cfg.vision, weight_quant="int8"),
+        text=dataclasses.replace(cfg.text, weight_quant=mode),
+        vision=dataclasses.replace(cfg.vision, weight_quant=mode),
     )

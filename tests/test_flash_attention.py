@@ -159,3 +159,38 @@ def test_flash_attention_gradients_match_reference():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_window_attention_matches_unfused():
+    """Rope+window fused kernel (interpret) == rope-then-window XLA path,
+    and the rotate_half matrix reproduces ops/rope.rotate_half."""
+    import numpy as np
+
+    from glimpseprune_tpu.ops import attention as A
+    from glimpseprune_tpu.ops.pallas.window_attention import rotate_half_matrix
+    from glimpseprune_tpu.ops.rope import rotate_half, vision_rope_cos_sin
+
+    rng = np.random.default_rng(0)
+    P, H, D, wp = 128, 4, 16, 32
+    qkv = jnp.asarray(rng.normal(size=(P, 3, H, D)).astype(np.float32))
+    pos = jnp.asarray(rng.integers(0, 9, (P, 2)).astype(np.int32))
+    cos, sin = vision_rope_cos_sin(pos, D)
+    valid = jnp.asarray(rng.random(P) > 0.2)
+
+    x = jnp.asarray(rng.normal(size=(5, D)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(x @ rotate_half_matrix(D)), np.asarray(rotate_half(x)),
+        rtol=1e-6,
+    )
+
+    old = A.ATTENTION_IMPL
+    try:
+        A.set_attention_impl("xla")
+        ref = A.fused_window_attention(qkv, cos, sin, valid, wp)
+        A.set_attention_impl("flash_interpret")
+        got = A.fused_window_attention(qkv, cos, sin, valid, wp)
+    finally:
+        A.set_attention_impl(old)
+    ref, got = np.asarray(ref), np.asarray(got)
+    vm = np.asarray(valid)
+    np.testing.assert_allclose(got[vm], ref[vm], rtol=2e-5, atol=2e-5)

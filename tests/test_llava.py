@@ -368,3 +368,53 @@ def test_cdpruner_text_conditioned_relevance():
         method=model.cdpruner_relevance,
     ))
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_llava_gp_train_step():
+    """LLaVA-family base training recipe (reference train_llava_gp.py: same
+    loc+le skeleton on Llama+CLIP): the shared train step drives Llava_GP —
+    new-module grads flow, frozen base untouched, loss finite and falling."""
+    import optax
+
+    from glimpseprune_tpu.training.train_step import (
+        init_train_state,
+        make_train_step,
+    )
+
+    cfg = tiny_llava_config()
+    cc = tiny_clip_cfg()
+    rng = np.random.default_rng(0)
+    prompts = [[7, 8, cfg.image_token_id, 9]]
+    images = [rng.integers(0, 255, (64, 80, 3), dtype=np.uint8)]
+    prep = prepare_llava_inputs(
+        cfg, cc, prompts, images, normed_bboxes=[[[0.1, 0.1, 0.6, 0.6]]],
+        answer_ids=[[11, 12, 13]], seq_multiple=8,
+    )
+    model = Llava_GP(cfg, clip_cfg=cc)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(prep.input_ids), jnp.asarray(prep.valid),
+        jnp.asarray(prep.position_ids), jnp.asarray(prep.patches),
+        jnp.asarray(prep.vis_pos_ids), jnp.asarray(prep.full_seg),
+        jnp.asarray(prep.vis_valid), jnp.asarray(prep.packed_idx),
+        jnp.asarray(prep.img_slots), jnp.asarray(prep.img_valid),
+        jnp.asarray(prep.fuser.window_index), jnp.asarray(prep.fuser.reverse_index),
+        jnp.asarray(prep.fuser.segment_ids), jnp.asarray(prep.fuser.pos_ids),
+        jnp.asarray(prep.le_start), prep.out_len,
+    )
+    from glimpseprune_tpu.training.trainer import batch_from_prep
+
+    batch = batch_from_prep(prep)
+    opt = optax.adam(5e-3)
+    step = jax.jit(make_train_step(cfg, model, opt))
+    state, frozen = init_train_state(variables["params"], opt)
+    le0 = np.asarray(state.trainable["learnable_embeddings"]).copy()
+    losses = []
+    for i in range(4):
+        state, metrics = step(state, frozen, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert np.abs(np.asarray(state.trainable["learnable_embeddings"]) - le0).max() > 0
+    # base stays frozen by construction (it lives in the frozen tree)
+    assert "text" in frozen and "visual" in frozen

@@ -166,3 +166,41 @@ def test_qlora_int8_base_plus_inscan_lora():
         qlcfg, insert_lora(qparams, lora2), model=model
     ).glimpse(prep)
     assert not np.allclose(np.asarray(out1.logits), np.asarray(base.logits))
+
+
+def test_int4_pipeline_close_to_fp():
+    """4-bit tier (reference llava builder load_4bit): packed-nibble kernels
+    + group scales run the full GP pipeline close to fp."""
+    from glimpseprune_tpu.quantization import dequant_int4, quantize_int4
+
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(3)
+    prep, _ = build_batch(cfg, rng, with_labels=False)
+    _, params = init_params(cfg, prep)
+
+    q4 = quantize_int4(params)
+    paths = _flat_paths(q4)
+    assert any(p.endswith("kernel_q4") for p in paths), sorted(paths)[:5]
+    # 4-bit packing halves the int8 size on targeted kernels
+    assert quantized_bytes(q4) < quantized_bytes(quantize_int8(params))
+
+    # dequant error bounded by one step of the 4-bit grid per group
+    leaf = q4["text"]["layers"]["self_attn"]["q_proj"]
+    w = np.asarray(params["text"]["layers"]["self_attn"]["q_proj"]["kernel"], np.float64)
+    back = np.asarray(dequant_int4(leaf, jnp.float32), np.float64)
+    group = (leaf["kernel_q4"].shape[-2] * 2) // leaf["kernel_scale4"].shape[-2]
+    gmax = np.abs(w.reshape(w.shape[0], -1, group, w.shape[-1])).max(axis=2)
+    step = np.repeat(gmax / 7.0, group, axis=1)
+    assert (np.abs(back - w) <= step * 0.5 + 1e-8).all()
+
+    out_fp = GlimpsePruneRunner(cfg, params).glimpse(prep)
+    out_q4 = GlimpsePruneRunner(
+        quantized_config(cfg, "int4"), q4
+    ).glimpse(prep)
+    a = np.asarray(out_fp.logits, np.float64).reshape(-1)
+    b = np.asarray(out_q4.logits, np.float64).reshape(-1)
+    cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    # random-init tiny weights are the worst case for 4-bit (flat spectrum,
+    # hidden 64): the quantization-step bound above is the exactness check,
+    # this is the sanity floor
+    assert cos > 0.9, cos
