@@ -97,13 +97,27 @@ def _layer_prefill(cfg: TextConfig, pl, x, cos, sin, valid, q_index, dtype):
     return x, k, v, sel_q, q
 
 
-def _layer_decode(cfg: TextConfig, pl, x, cos, sin, k_cache, v_cache, kv_valid,
-                  write_idx, dtype):
+def _layer_decode(cfg: TextConfig, pl, l, x, cos, sin, k_cache, v_cache,
+                  kv_valid, write_idx, dtype):
+    """One decode layer against the FULL stacked cache [L, B, T, Hkv, D].
+
+    The cache lives in the layer-scan CARRY and only the new token slots are
+    written (dynamic_update_slice at (l, :, write_idx)): XLA aliases while-
+    loop carries, so the update is in place. The previous formulation
+    threaded per-layer cache slices through scan xs->ys, which re-wrote the
+    whole [B, T, Hkv, D] slice every layer every step — ~2x the cache bytes
+    in HBM traffic per decode step on top of the unavoidable attention
+    read."""
     h = _rms(x, pl["input_layernorm"]["weight"], cfg.rms_norm_eps)
     q, k, v = _qkv(cfg, pl, h, cos, sin, dtype)
-    k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k.astype(k_cache.dtype), write_idx, axis=1)
-    v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v.astype(v_cache.dtype), write_idx, axis=1)
-    attn = decode_attention(q, k_cache, v_cache, kv_valid)
+    zero = jnp.int32(0)
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache, k[None].astype(k_cache.dtype), (l, zero, write_idx, zero, zero))
+    v_cache = jax.lax.dynamic_update_slice(
+        v_cache, v[None].astype(v_cache.dtype), (l, zero, write_idx, zero, zero))
+    kl = jax.lax.dynamic_index_in_dim(k_cache, l, axis=0, keepdims=False)
+    vl = jax.lax.dynamic_index_in_dim(v_cache, l, axis=0, keepdims=False)
+    attn = decode_attention(q, kl, vl, kv_valid)
     b, s = x.shape[:2]
     x = x + _dense(attn.reshape(b, s, -1), pl["self_attn"]["o_proj"], dtype)
     x = x + _mlp(cfg, pl, _rms(x, pl["post_attention_layernorm"]["weight"], cfg.rms_norm_eps), dtype)
@@ -195,8 +209,21 @@ class TextDecoder(nn.Module):
             "norm", lambda rng: {"weight": jnp.ones((c.hidden_size,), jnp.float32)}
         )
         if not c.tie_word_embeddings:
-            self.lm_head = nn.Dense(c.vocab_size, use_bias=False, dtype=self.dtype,
-                                    param_dtype=self.param_dtype)
+            # raw param (not nn.Dense) so the int8/int4 weight tiers cover
+            # the head too: the 7B bf16 head is 1.09 GB — the single largest
+            # per-decode-step HBM read after the layer stack
+            def _head_base(rng):
+                k = nn.initializers.lecun_normal()(
+                    rng, (c.hidden_size, c.vocab_size)
+                ).astype(self.param_dtype)
+                return {"kernel": k}
+
+            head_init = _head_base
+            if c.weight_quant in ("int8", "int4"):
+                from glimpseprune_tpu.quantization import quantize_structure
+                _hmode = c.weight_quant
+                head_init = lambda rng: quantize_structure(_head_base(rng), mode=_hmode)
+            self.lm_head_params = self.param("lm_head", head_init)
 
     def __call__(self, input_ids, cos, sin, valid):
         x = self.embed(input_ids)
@@ -212,7 +239,7 @@ class TextDecoder(nn.Module):
     def logits(self, x):
         if self.cfg.tie_word_embeddings:
             return self.embed_tokens.attend(x)
-        return self.lm_head(x)
+        return _dense(x, self.lm_head_params, self.dtype)
 
     def run_layers(
         self,
@@ -334,15 +361,18 @@ class TextDecoder(nn.Module):
         cfg = self.cfg
         dtype = self.dtype
         x = self.embed(input_ids)
+        L = k_cache.shape[0]
 
         def body(carry, scanned):
-            xc = carry
-            pl, kc, vc = scanned
+            xc, kc, vc = carry
+            pl, l = scanned
             xc, kc, vc = _layer_decode(
-                cfg, pl, xc, cos, sin, kc, vc, kv_valid, write_idx, dtype
+                cfg, pl, l, xc, cos, sin, kc, vc, kv_valid, write_idx, dtype
             )
-            return xc, (kc, vc)
+            return (xc, kc, vc), None
 
-        x, (k_new, v_new) = jax.lax.scan(body, x, (self.layers, k_cache, v_cache))
+        (x, k_new, v_new), _ = jax.lax.scan(
+            body, (x, k_cache, v_cache), (self.layers, jnp.arange(L))
+        )
         x = self.final_norm(x)
         return self.logits(x), k_new, v_new

@@ -56,7 +56,8 @@ _RULES: Tuple[Tuple[str, P], ...] = (
     (r"text/layers/mlp/(gate_proj|up_proj)/kernel(_q|_q4)?", P(None, None, "model")),
     (r"text/layers/mlp/(gate_proj|up_proj)/bias", P(None, "model")),
     (r"text/layers/mlp/down_proj/kernel(_q|_q4)?", P(None, "model", None)),
-    (r"text/lm_head/kernel", P(None, "model")),
+    (r"text/lm_head/kernel(_q|_q4)?", P(None, "model")),
+    (r"text/lm_head/kernel_scale4?", P(None, "model")),
     # ---- vision tower (stacked blocks: leading depth axis unsharded)
     (r"visual/blocks/attn/qkv/kernel(_q|_q4)?", P(None, None, "model")),
     (r"visual/blocks/attn/qkv/bias", P(None, "model")),

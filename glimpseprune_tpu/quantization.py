@@ -42,6 +42,7 @@ import numpy as np
 # kernels worth quantizing: the stacked decoder / vision-block matmuls.
 DEFAULT_INCLUDE: Sequence[str] = (
     r"text/layers/.*/kernel",
+    r"text/lm_head/kernel",
     r"visual/blocks/.*/kernel",
 )
 

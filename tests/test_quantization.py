@@ -36,9 +36,11 @@ def test_quantize_structure_and_roundtrip():
     paths = _flat_paths(qparams)
     assert any(p.endswith("self_attn/q_proj/kernel_q") for p in paths)
     assert any(p.endswith("mlp/down_proj/kernel_scale") for p in paths)
-    # non-targets untouched
-    assert any("lm_head/kernel" in p for p in paths)
-    assert not any("lm_head/kernel_q" in p for p in paths)
+    # the head quantizes too (7B bf16 head = 1.09 GB/step of decode reads);
+    # embeddings and norms stay fp
+    assert any("lm_head/kernel_q" in p for p in paths)
+    assert any("embed_tokens/embedding" in p for p in paths)
+    assert not any("embed_tokens/embedding_q" in p for p in paths)
 
     # int8 shrinks the targeted stacks
     assert quantized_bytes(qparams) < quantized_bytes(params)
