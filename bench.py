@@ -18,9 +18,12 @@ vs_baseline = speedup vs the SAME stack unpruned (vision encode +
           full-depth full-length prefill + decode over the full KV).
           detail carries the prefill-only and decode-only sub-ratios.
 
-Env knobs: BENCH_SCALE=7b|3b|1b, BENCH_QUANT=int8|'', BENCH_MAX_PIXELS=N
+Env knobs: BENCH_SCALE=7b|3b|1b, BENCH_QUANT=int8|int4|'', BENCH_MAX_PIXELS=N
 (0 -> ~1M px / 1.3k tokens), BENCH_DECODE=N steps (0 -> prefill-only,
 round-1 protocol), BENCH_BATCH, BENCH_USE_REF, BENCH_REDUCE_LAYER.
+BENCH_MODE=serving switches to the max-feasible-batch serving comparison
+(run_serving below: per-chip generated-token throughput, pruned B=16 vs
+unpruned B=4 at the 16k-token point — the KV-residency win).
 """
 
 import json
@@ -109,13 +112,22 @@ def run(scale: str):
 
     cfg = build_cfg(scale, reduce_override)
     quant = _os.environ.get("BENCH_QUANT", "")
-    if quant not in ("", "int8"):
-        raise ValueError(f"BENCH_QUANT must be '' or 'int8', got {quant!r}")
-    if quant == "int8":
-        # weight-only int8 (quantization.py): 7B fits one 16GB v5e chip
+    if quant not in ("", "int8", "int4"):
+        raise ValueError(f"BENCH_QUANT must be ''/'int8'/'int4', got {quant!r}")
+    if quant:
+        # weight-only int8/int4 (quantization.py): 7B fits one 16GB v5e chip
         from glimpseprune_tpu.quantization import quantized_config
 
-        cfg = quantized_config(cfg)
+        cfg = quantized_config(cfg, quant)
+    kv_quant = _os.environ.get("BENCH_KV_QUANT", "int8")
+    if kv_quant and kv_quant != "none":
+        # int8 decode KV cache (ops/kv_cache.py): the serving-capacity tier,
+        # applied to BOTH the pruned and unpruned sides
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, text=dataclasses.replace(cfg.text, kv_cache_quant=kv_quant)
+        )
     rng = np.random.default_rng(0)
 
     # ~1M-pixel image -> smart_resize caps at 1280 merged visual tokens
@@ -327,12 +339,228 @@ def run(scale: str):
     return result
 
 
+def run_serving(scale: str):
+    """Max-feasible-batch serving comparison at the large-image point.
+
+    The production win of 92% KV pruning on a 16 GB chip: an unpruned 16.4k-
+    token context costs 0.94 GB of KV per row (7B), capping the feasible
+    decode batch at ~4 beside ~7 GB of int8 weights; the compacted cache is
+    0.08 GB/row, so 16+ rows fit. Protocol (reference do_generate,
+    max_new_tokens=1024, infer_cot.py:116-119), continuous-batching shape:
+    BOTH sides prefill in chunks of B=1 (the prefill-activation cap at 16k
+    tokens/row beside the weights), then decode ONE aggregated batch at
+    each side's KV-residency-capped decode batch:
+      pruned   — 16 prefill chunks -> concat compacted KV -> decode B=16
+      unpruned — 4 prefill chunks -> write full KV into a preallocated
+                 decode cache (no concat spike) -> decode B=4
+    value = pruned generated tokens/s/chip; vs_baseline = ratio of
+    generated-token throughput (each side at its own max batch).
+    """
+    import os as _os
+    import functools
+    import jax
+    import jax.numpy as jnp
+
+    from glimpseprune_tpu.models.qwen2_5_vl.gp_model import Qwen2_5_VL_GP
+    from glimpseprune_tpu.models.qwen2_5_vl.runner import (
+        GlimpsePruneRunner,
+        prepare_inputs,
+    )
+
+    cfg = build_cfg(scale)
+    quant = _os.environ.get("BENCH_QUANT", "")
+    if quant:
+        from glimpseprune_tpu.quantization import quantized_config
+
+        cfg = quantized_config(cfg, quant)
+    kv_quant = _os.environ.get("BENCH_KV_QUANT", "int8")
+    if kv_quant and kv_quant != "none":
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, text=dataclasses.replace(cfg.text, kv_cache_quant=kv_quant)
+        )
+    rng = np.random.default_rng(0)
+    max_px = int(_os.environ.get("BENCH_MAX_PIXELS", "12845056")) or 1048576
+    side = int((max_px * 1.3) ** 0.5)
+    img = rng.integers(0, 255, (side, side, 3), dtype=np.uint8)
+    prompt = (
+        [int(x) for x in rng.integers(5, 100000, 24)]
+        + [cfg.vision_start_token_id, cfg.image_token_id, cfg.vision_end_token_id]
+        + [int(x) for x in rng.integers(5, 100000, 24)]
+    )
+    chunk_b = int(_os.environ.get("BENCH_SERVE_CHUNK", "1"))
+    rows_p = int(_os.environ.get("BENCH_SERVE_ROWS_P", "16"))
+    rows_u = int(_os.environ.get("BENCH_SERVE_ROWS_U", "4"))
+    n_dec = int(_os.environ.get("BENCH_DECODE", "1024"))
+    prep = prepare_inputs(cfg, [prompt] * chunk_b, [img] * chunk_b,
+                          max_pixels=max_px)
+
+    model = Qwen2_5_VL_GP(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    init_jit = jax.jit(model.init, static_argnums=(16,))
+    params = init_jit(
+        jax.random.PRNGKey(0),
+        jnp.asarray(prep.input_ids), jnp.asarray(prep.valid),
+        jnp.asarray(prep.position_ids), jnp.asarray(prep.patches),
+        jnp.asarray(prep.vis_pos_ids), jnp.asarray(prep.full_seg),
+        jnp.asarray(prep.vis_valid), jnp.asarray(prep.packed_idx),
+        jnp.asarray(prep.img_slots), jnp.asarray(prep.img_valid),
+        jnp.asarray(prep.fuser.window_index), jnp.asarray(prep.fuser.reverse_index),
+        jnp.asarray(prep.fuser.segment_ids), jnp.asarray(prep.fuser.pos_ids),
+        jnp.asarray(prep.le_start), prep.out_len,
+    )["params"]
+    runner = GlimpsePruneRunner(cfg, params, dtype=jnp.bfloat16)
+    dev_inputs = runner._device_inputs(prep, use_ref_masks=False)
+
+    @functools.partial(jax.jit, static_argnames=("out_len",))
+    def pruned_prefill(params, inputs, i, out_len):
+        inputs = dict(inputs)
+        inputs["patches"] = inputs["patches"] + i * 1e-6
+        return runner._prefill_impl(params, inputs, out_len, False)
+
+    le_len = cfg.gp.le_length
+    vanilla_static = {
+        "input_ids": dev_inputs["input_ids"][:, :-le_len],
+        "valid": dev_inputs["valid"][:, :-le_len],
+        "position_ids": dev_inputs["position_ids"][:, :, :-le_len],
+    }
+
+    @jax.jit
+    def unpruned_prefill(params, inputs, vanilla, i):
+        merged, _ = runner.model.apply(
+            params, inputs["patches"] + i * 1e-6, inputs["vis_pos_ids"],
+            inputs["full_seg"], inputs["vis_valid"],
+            method=runner.model.vision_encode,
+        )
+        return runner.model.apply(
+            params, vanilla["input_ids"], vanilla["valid"],
+            vanilla["position_ids"], merged, inputs["packed_idx"],
+            inputs["img_slots"], inputs["img_valid"], True,
+            method=runner.model.vanilla_prefill,
+        )
+
+    import time as _t
+
+    n_chunks_p = rows_p // chunk_b
+    n_chunks_u = rows_u // chunk_b
+
+    def run_pruned(i0):
+        # compacted chunks are ~0.09 GB each at 16k->8%: a plain concat into
+        # the decode batch is cheap
+        t0 = _t.perf_counter()
+        outs = [pruned_prefill({"params": params}, dev_inputs,
+                               jnp.float32(i0 + i), out_len=prep.out_len)
+                for i in range(n_chunks_p)]
+        logits = jnp.concatenate([o.logits for o in outs], axis=0)
+        valid = jnp.concatenate([o.valid for o in outs], axis=0)
+        pos = jnp.concatenate([o.position_ids for o in outs], axis=1)
+        kv_k = jnp.concatenate([o.kv_k for o in outs], axis=1)
+        kv_v = jnp.concatenate([o.kv_v for o in outs], axis=1)
+        del outs
+        seqs, _ = runner._decode_loop(
+            logits, valid, pos, kv_k, kv_v, n_dec, -1, chunk_size=n_dec,
+            rng=jax.random.PRNGKey(i0),
+        )
+        n = int(np.asarray(seqs).shape[0] * np.asarray(seqs).shape[1])
+        return _t.perf_counter() - t0, n
+
+    # unpruned full-context KV is ~0.94 GB/row (bf16): assemble the decode
+    # cache in place (concat would transiently double it and OOM beside the
+    # weights); the cache tier (BENCH_KV_QUANT) quantizes at fill
+    from glimpseprune_tpu.ops.kv_cache import alloc_cache, cache_fill_rows
+
+    L = cfg.text.num_hidden_layers
+    Hkv, D = cfg.text.num_key_value_heads, cfg.text.head_dim
+    S_u = int(vanilla_static["valid"].shape[1])
+    T_u = S_u + n_dec
+    cache_tier = getattr(cfg.text, "kv_cache_quant", "none")
+    cache_tier = "" if cache_tier == "none" else cache_tier
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def fill(kc, vc, ck, cv, b0):
+        return (cache_fill_rows(kc, ck, b0), cache_fill_rows(vc, cv, b0))
+
+    def run_unpruned(i0):
+        t0 = _t.perf_counter()
+        shape_u = (L, rows_u, T_u, Hkv, D)
+        kc = alloc_cache(shape_u, jnp.bfloat16, cache_tier)
+        vc = alloc_cache(shape_u, jnp.bfloat16, cache_tier)
+        logits_parts = []
+        for i in range(n_chunks_u):
+            u_logits, u_kv_k, u_kv_v = unpruned_prefill(
+                {"params": params}, dev_inputs, vanilla_static,
+                jnp.float32(i0 + i))
+            kc, vc = fill(kc, vc, u_kv_k, u_kv_v, jnp.int32(i * chunk_b))
+            del u_kv_k, u_kv_v
+            logits_parts.append(u_logits)
+        logits = jnp.concatenate(logits_parts, axis=0)
+        valid = jnp.concatenate([vanilla_static["valid"]] * n_chunks_u, axis=0)
+        pos = jnp.concatenate(
+            [vanilla_static["position_ids"]] * n_chunks_u, axis=1)
+        seqs, _ = runner._decode_loop(
+            logits, valid, pos, kc, vc, n_dec, -1, chunk_size=n_dec,
+            rng=jax.random.PRNGKey(i0), prealloc_t=T_u,
+        )
+        n = int(np.asarray(seqs).shape[0] * np.asarray(seqs).shape[1])
+        return _t.perf_counter() - t0, n
+
+    run_pruned(0)  # compile
+    t_p, n_p = run_pruned(1)
+    run_unpruned(0)  # compile
+    t_u, n_u = run_unpruned(1)
+
+    thr_p = n_p / t_p
+    thr_u = n_u / t_u
+    suffix = f"_{scale}" + (f"_{quant}" if quant else "")
+    return {
+        "metric": f"gp_serving_generated_tokens_per_sec_chip{suffix}",
+        "value": round(thr_p, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(thr_p / thr_u, 3),
+        "detail": {
+            "protocol": "max-feasible-batch generate, %d new tokens/row, "
+                        "%d-token images; prefill chunks of %d; decode "
+                        "pruned B=%d vs unpruned B=%d"
+                        % (n_dec, int(prep.n_img_tokens[0]), chunk_b,
+                           rows_p, rows_u),
+            "pruned_batch": rows_p,
+            "unpruned_batch": rows_u,
+            "pruned_wall_s": round(t_p, 2),
+            "unpruned_wall_s": round(t_u, 2),
+            "pruned_tok_s": round(thr_p, 1),
+            "unpruned_tok_s": round(thr_u, 1),
+            "n_image_tokens": int(prep.n_img_tokens[0]),
+            "n_decode": n_dec,
+            "retention": cfg.gp.max_remain_ratio,
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
 def main():
     # default = the reference's flagship 7B (int8 so it fits one chip);
     # fall back through smaller shapes on tunnel/compile failures
     scale = os.environ.get("BENCH_SCALE", "7b")
     if scale == "7b" and not os.environ.get("BENCH_QUANT"):
         os.environ["BENCH_QUANT"] = "int8"
+    mode = os.environ.get("BENCH_MODE", "e2e")
+    if mode == "serving":
+        try:
+            print(json.dumps(run_serving(scale)))
+            return
+        except Exception as e:
+            import gc
+            import traceback
+
+            sys.stderr.write(
+                f"serving bench failed ({type(e).__name__}: {e}); falling "
+                "back to e2e protocol\n")
+            traceback.print_exc()
+            # the exception's frames pin run_serving's device buffers
+            # (params, caches) — release them or the fallback OOMs
+            traceback.clear_frames(e.__traceback__)
+            del e
+            gc.collect()
     try:
         result = run(scale)
     except Exception as e:  # OOM etc: fall back to the smaller shape

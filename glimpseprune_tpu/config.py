@@ -77,6 +77,13 @@ class TextConfig:
     attention_bias: bool = True
     # "none" | "int8": weight-only quantization of the layer stack
     weight_quant: str = "none"
+    # decode KV cache dtype tier: "none" = model dtype (bf16), "int8" =
+    # per-(token, head) symmetric int8 + f32 amax/127 scales (the cache
+    # becomes the pytree {"q": int8 [L,B,T,Hkv,D], "s": f32 [L,B,T,Hkv]}).
+    # Cache residency caps the feasible serving batch on a 16 GB chip
+    # (0.94 GB/row at 16k ctx, 7B bf16) — int8 halves it; prefill attention
+    # stays full-precision, quantization happens at cache build/append
+    kv_cache_quant: str = "none"
     # rematerialize decoder layers in the backward pass (training-memory
     # knob; inference cost is zero — remat only changes the VJP)
     remat: bool = False

@@ -574,44 +574,85 @@ class Qwen2_5_VL_GP(nn.Module):
         """Decode n_steps tokens fully on device (one lax.scan).
 
         Amortizes per-step dispatch (the reference pays a python/host hop per
-        HF generate step; over the axon tunnel that is ~28ms each). Greedy
-        when temperature == 0 else categorical sampling. Returns
+        HF generate step; over the axon tunnel that is ~28ms each — a
+        measured host-looped step is ~4 s). Greedy when temperature == 0
+        else categorical sampling. Returns
         (tokens [B, n_steps], done [B], k_cache, v_cache, kv_valid).
+
+        The (step x layer) loop is ONE FLAT scan of length n_steps*L, not a
+        scan-of-scans: XLA's copy insertion gives each KV cache carried
+        through NESTED while loops a defensive full copy (measured +1 whole
+        cache of HBM per buffer at any batch — the difference between
+        unpruned decode B=4 fitting a 16 GB chip or not), while a single
+        while loop with read-before-write layers aliases clean. Layer
+        params are gathered per iteration (dynamic_index over the stacked
+        tree — the same HBM traffic scan-xs streaming costs); embed runs at
+        l==0 and head+sample at l==L-1 under lax.cond, so per-step work is
+        unchanged.
         """
         c = self.cfg
+        td = self.text
         B = first_token.shape[0]
+        L = c.text.num_hidden_layers
+        from glimpseprune_tpu.models.qwen2_5_vl.language import _layer_decode
 
-        def step(carry, i):
-            tok, done, kc, vc, kvv, key = carry
-            widx = write_start + i
-            kvv = kvv.at[:, widx].set(True)
-            pos = (last_pos + 1 + i)[:, :, None]  # [3, B, 1]
+        toks0 = jnp.zeros((B, n_steps), first_token.dtype)
+        x0 = td.embed(first_token[:, None]).astype(self.dtype)
+
+        def body(carry, i):
+            tok, x, done, kc, vc, kvv, key, toks = carry
+            l = i % L
+            step = i // L
+            widx = write_start + step
+            pos = (last_pos + 1 + step)[:, :, None]  # [3, B, 1]
             cos, sin = mrope_cos_sin(
                 pos, c.text.head_dim, c.text.rope_theta, c.text.mrope_section
             )
-            logits, kc, vc = self.text.decode_step(
-                tok[:, None], cos.astype(self.dtype), sin.astype(self.dtype),
-                kc, vc, kvv, widx,
+            # l==0 work runs unconditionally — the embed gather is [B,1,H]
+            # and the kvv bit-set is idempotent across layers of a step — a
+            # lax.cond here costs more than the work it would skip
+            xe = td.embed(tok[:, None]).astype(self.dtype)
+            x = jnp.where(l == 0, xe, x)
+            kvv = kvv.at[:, widx].set(True)
+            pl = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, l, axis=0, keepdims=False),
+                td.layers,
             )
-            key, sub = jax.random.split(key)
-            if temperature and temperature > 0:
-                nxt = jax.random.categorical(
-                    sub, logits[:, -1].astype(jnp.float32) / temperature, axis=-1
-                ).astype(jnp.int32)
-            else:
-                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-            nxt = jnp.where(done, eos_token_id, nxt)
-            done = done | (nxt == eos_token_id)
-            return (nxt, done, kc, vc, kvv, key), tok
+            x, kc, vc = _layer_decode(
+                c.text, pl, l, x, cos.astype(self.dtype), sin.astype(self.dtype),
+                kc, vc, kvv, widx, self.dtype,
+            )
+
+            def finish(tok, done, key, toks):
+                logits = td.logits(td.final_norm(x))
+                key, sub = jax.random.split(key)
+                if temperature and temperature > 0:
+                    nxt = jax.random.categorical(
+                        sub, logits[:, -1].astype(jnp.float32) / temperature,
+                        axis=-1,
+                    ).astype(first_token.dtype)
+                else:
+                    nxt = jnp.argmax(logits[:, -1], axis=-1).astype(first_token.dtype)
+                nxt = jnp.where(done, eos_token_id, nxt)
+                # toks[:, s] = the token EMITTED at step s (the input token)
+                toks = jax.lax.dynamic_update_slice(
+                    toks, tok[:, None], (jnp.int32(0), step))
+                return nxt, done | (nxt == eos_token_id), key, toks
+
+            tok, done, key, toks = jax.lax.cond(
+                l == L - 1, finish,
+                lambda tok, done, key, toks: (tok, done, key, toks),
+                tok, done, key, toks,
+            )
+            return (tok, x, done, kc, vc, kvv, key, toks), None
 
         done0 = first_token == eos_token_id
-        carry0 = (first_token, done0, k_cache, v_cache, kv_valid, rng)
-        (tok, done, kc, vc, kvv, _), toks = jax.lax.scan(
-            step, carry0, jnp.arange(n_steps)
+        carry0 = (first_token, x0, done0, k_cache, v_cache, kv_valid, rng, toks0)
+        (tok, _, done, kc, vc, kvv, _, toks), _ = jax.lax.scan(
+            body, carry0, jnp.arange(n_steps * L)
         )
-        # toks[i] is the token EMITTED at step i (the input token); the final
-        # carried token is the next candidate, returned for chaining
-        return toks.T, tok, done, kc, vc, kvv
+        # the final carried token is the next candidate, returned for chaining
+        return toks, tok, done, kc, vc, kvv
 
     def decode_step(self, input_ids, position_ids, k_cache, v_cache, kv_valid, write_idx):
         """input_ids [B, S_new], position_ids [3, B, S_new]."""

@@ -107,17 +107,23 @@ def _layer_decode(cfg: TextConfig, pl, l, x, cos, sin, k_cache, v_cache,
     threaded per-layer cache slices through scan xs->ys, which re-wrote the
     whole [B, T, Hkv, D] slice every layer every step — ~2x the cache bytes
     in HBM traffic per decode step on top of the unavoidable attention
-    read."""
+    read.
+
+    Order matters: the slice is READ before the update and the new tokens'
+    k/v ride in registers (decode_attention k_new path). A carry that is
+    dynamically read AFTER an in-body update costs a defensive whole-cache
+    copy from XLA's copy insertion (+7.6 GB at 7B/16k/B=4 — measured);
+    read-then-write aliases clean."""
+    from glimpseprune_tpu.ops.kv_cache import cache_append, cache_layer
+
     h = _rms(x, pl["input_layernorm"]["weight"], cfg.rms_norm_eps)
     q, k, v = _qkv(cfg, pl, h, cos, sin, dtype)
-    zero = jnp.int32(0)
-    k_cache = jax.lax.dynamic_update_slice(
-        k_cache, k[None].astype(k_cache.dtype), (l, zero, write_idx, zero, zero))
-    v_cache = jax.lax.dynamic_update_slice(
-        v_cache, v[None].astype(v_cache.dtype), (l, zero, write_idx, zero, zero))
-    kl = jax.lax.dynamic_index_in_dim(k_cache, l, axis=0, keepdims=False)
-    vl = jax.lax.dynamic_index_in_dim(v_cache, l, axis=0, keepdims=False)
-    attn = decode_attention(q, kl, vl, kv_valid)
+    kl = cache_layer(k_cache, l)
+    vl = cache_layer(v_cache, l)
+    attn = decode_attention(q, kl, vl, kv_valid, k_new=k, v_new=v,
+                            write_idx=write_idx)
+    k_cache = cache_append(k_cache, k, l, write_idx)
+    v_cache = cache_append(v_cache, v, l, write_idx)
     b, s = x.shape[:2]
     x = x + _dense(attn.reshape(b, s, -1), pl["self_attn"]["o_proj"], dtype)
     x = x + _mlp(cfg, pl, _rms(x, pl["post_attention_layernorm"]["weight"], cfg.rms_norm_eps), dtype)
@@ -361,7 +367,7 @@ class TextDecoder(nn.Module):
         cfg = self.cfg
         dtype = self.dtype
         x = self.embed(input_ids)
-        L = k_cache.shape[0]
+        L = jax.tree.leaves(k_cache)[0].shape[0]
 
         def body(carry, scanned):
             xc, kc, vc = carry

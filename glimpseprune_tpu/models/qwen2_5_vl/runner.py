@@ -864,16 +864,22 @@ class GlimpsePruneRunner:
 
     def _decode_loop(self, logits, r_valid, r_pos, kv_k, kv_v, max_new_tokens,
                      eos, check_eos_every=8, temperature: float = 0.0,
-                     rng=None, chunk_size: int = 32):
+                     rng=None, chunk_size: int = 32, prealloc_t=None):
         """Decode over a compacted KV prefix; shared by every method.
 
         Runs `chunk_size` steps per jitted lax.scan call (on-device argmax/
         sampling + eos tracking) so per-token host dispatch is amortized; eos
         early exit is checked between chunks. temperature=0 -> greedy; >0 ->
-        categorical sampling (GRPO, reference train_qwen_gp.py:1221-1247)."""
+        categorical sampling (GRPO, reference train_qwen_gp.py:1221-1247).
+
+        prealloc_t: pass when kv_k/kv_v are ALREADY the full decode cache
+        buffer [L, B, prealloc_t, Hkv, D] with the R prefix tokens written
+        (a serving host assembling one decode batch from several prefill
+        chunks avoids the alloc+copy spike of re-buffering a multi-GB full-
+        context cache; r_valid stays [B, R])."""
         gen = self._run_decode(
             logits, r_valid, r_pos, kv_k, kv_v, max_new_tokens, eos,
-            temperature, rng, chunk_size,
+            temperature, rng, chunk_size, prealloc_t=prealloc_t,
         )
         while True:
             try:
@@ -895,7 +901,7 @@ class GlimpsePruneRunner:
         return seqs, n_gen
 
     def _run_decode(self, logits, r_valid, r_pos, kv_k, kv_v, max_new_tokens,
-                    eos, temperature, rng, chunk_size):
+                    eos, temperature, rng, chunk_size, prealloc_t=None):
         """Shared decode driver (generator): cache alloc + chunked jitted
         scan, YIELDING each [B, chunk] token array as it lands — the
         streaming hook. Returns seqs [B, n_chunks*chunk] via StopIteration."""
@@ -904,16 +910,25 @@ class GlimpsePruneRunner:
         R = int(r_valid.shape[1])
         chunk = max(1, min(chunk_size, max_new_tokens))
         n_chunks = (max_new_tokens + chunk - 1) // chunk
-        T = R + n_chunks * chunk
-        L = cfg.text.num_hidden_layers
-        k_cache = jnp.zeros(
-            (L, B, T, cfg.text.num_key_value_heads, cfg.text.head_dim), dtype=kv_k.dtype
-        )
-        v_cache = jnp.zeros_like(k_cache)
-        k_cache = k_cache.at[:, :, :R].set(kv_k)
-        v_cache = v_cache.at[:, :, :R].set(kv_v)
+        if prealloc_t is not None:
+            if prealloc_t < R + n_chunks * chunk:
+                raise ValueError(
+                    f"prealloc_t={prealloc_t} < R + max_new rounded "
+                    f"({R} + {n_chunks * chunk})")
+            T = int(prealloc_t)
+            k_cache, v_cache = kv_k, kv_v
+        else:
+            from glimpseprune_tpu.ops.kv_cache import alloc_cache, cache_set_prefix
+
+            T = R + n_chunks * chunk
+            L = cfg.text.num_hidden_layers
+            shape = (L, B, T, cfg.text.num_key_value_heads, cfg.text.head_dim)
+            kv_quant = getattr(cfg.text, "kv_cache_quant", "none")
+            kv_quant = "" if kv_quant == "none" else kv_quant
+            k_cache = cache_set_prefix(alloc_cache(shape, kv_k.dtype, kv_quant), kv_k)
+            v_cache = cache_set_prefix(alloc_cache(shape, kv_v.dtype, kv_quant), kv_v)
         kv_valid = jnp.concatenate(
-            [r_valid, jnp.zeros((B, n_chunks * chunk), dtype=bool)], axis=1
+            [r_valid, jnp.zeros((B, T - R), dtype=bool)], axis=1
         )
 
         last_pos = r_pos[:, :, -1]  # [3, B]

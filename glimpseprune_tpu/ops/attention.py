@@ -192,32 +192,77 @@ def decode_attention(
     k_cache: jnp.ndarray,  # [B, T, Hkv, D]
     v_cache: jnp.ndarray,  # [B, T, Hkv, D]
     kv_valid: jnp.ndarray,  # [B, T] bool
+    k_new: Optional[jnp.ndarray] = None,  # [B, S_new, Hkv, D]
+    v_new: Optional[jnp.ndarray] = None,
+    write_idx: Optional[jnp.ndarray] = None,  # scalar: new tokens' cache slot
 ) -> jnp.ndarray:
     """Attention of new queries over a cached (compacted) KV prefix.
 
-    New queries are assumed to come causally *after* everything valid in the
-    cache; if S_new > 1, the last S_new cache slots are the new tokens and
-    causal ordering among them is enforced.
+    Two modes:
+    - k_new/v_new given (the decode hot path): the cache holds ONLY the
+      prefix — slots >= write_idx are masked as stale — and the new tokens'
+      keys/values contribute from registers (causal among themselves).
+      This lets the decode layer read the cache BEFORE writing it: XLA's
+      copy insertion gives a while-loop carry that is dynamically read
+      after an in-body update a full defensive copy (one whole KV cache of
+      HBM), but read-then-write aliases clean.
+    - legacy (k_new None): new queries come causally after everything valid
+      in the cache; if S_new > 1, the last S_new cache slots are the new
+      tokens and causal ordering among them is enforced.
     """
     b, s_new, hq, d = q.shape
-    t = k_cache.shape[1]
-    hkv = k_cache.shape[2]
+    # int8 cache tier (ops/kv_cache.py): {"q": int8, "s": f32 per-token-head
+    # amax/127}. The scale is constant along each matmul's contraction dim,
+    # so dequant factors out of both dots exactly — no bf16 materialization
+    kq = isinstance(k_cache, dict)
+    k_vals = k_cache["q"] if kq else k_cache
+    v_vals = v_cache["q"] if kq else v_cache
+    t = k_vals.shape[1]
+    hkv = k_vals.shape[2]
     g = hq // hkv
     allowed = kv_valid[:, None, :]  # [B, 1, T]
-    if s_new > 1:
+    if k_new is None and s_new > 1:
         # positions t - s_new + i may attend up to t - s_new + i
         offs = t - s_new + jnp.arange(s_new)
         causal = jnp.arange(t)[None, :] <= offs[:, None]  # [S_new, T]
         allowed = allowed & causal[None]
+    if k_new is not None:
+        assert write_idx is not None
+        stale = jnp.arange(t)[None, None, :] >= write_idx  # [1, 1, T]
+        allowed = allowed & ~stale
     # grouped GQA einsum: the cache is read ONCE per step — materializing a
     # repeat to Hq heads costs (Hq/Hkv)x the KV bytes in HBM traffic, which
     # dominated long-context decode (16k ctx, 7B: 47ms/step -> ~13ms/step)
     qg = q.reshape(b, s_new, hkv, g, d)
     scale = 1.0 / jnp.sqrt(jnp.float32(d))
     logits = jnp.einsum(
-        "bskgd,btkd->bkgst", qg, k_cache, preferred_element_type=jnp.float32
+        "bskgd,btkd->bkgst", qg, k_vals.astype(q.dtype),
+        preferred_element_type=jnp.float32,
     ) * scale
+    if kq:
+        logits = logits * k_cache["s"].transpose(0, 2, 1)[:, :, None, None, :]
     logits = jnp.where(allowed[:, None, None], logits, NEG_INF)
-    probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bkgst,btkd->bskgd", probs.astype(v_cache.dtype), v_cache)
+    if k_new is None:
+        probs = jax.nn.softmax(logits, axis=-1)
+        if kq:
+            probs = probs * v_cache["s"].transpose(0, 2, 1)[:, :, None, None, :]
+        out = jnp.einsum(
+            "bkgst,btkd->bskgd", probs.astype(q.dtype), v_vals.astype(q.dtype)
+        )
+        return out.reshape(b, s_new, hq, d)
+    # append the in-register new tokens: [B, Hkv, g, S_new, S_new] causal
+    logits_n = jnp.einsum(
+        "bskgd,bukd->bkgsu", qg, k_new, preferred_element_type=jnp.float32
+    ) * scale
+    causal_n = (
+        jnp.arange(s_new)[:, None] >= jnp.arange(s_new)[None, :]
+    )  # query s attends new-token u iff u <= s
+    logits_n = jnp.where(causal_n[None, None, None], logits_n, NEG_INF)
+    full = jnp.concatenate([logits, logits_n], axis=-1)
+    probs = jax.nn.softmax(full, axis=-1)
+    pc, pn = probs[..., :t], probs[..., t:]
+    if kq:
+        pc = pc * v_cache["s"].transpose(0, 2, 1)[:, :, None, None, :]
+    out = jnp.einsum("bkgst,btkd->bskgd", pc.astype(q.dtype), v_vals.astype(q.dtype))
+    out = out + jnp.einsum("bkgsu,bukd->bskgd", pn.astype(v_new.dtype), v_new)
     return out.reshape(b, s_new, hq, d)

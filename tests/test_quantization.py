@@ -206,3 +206,56 @@ def test_int4_pipeline_close_to_fp():
     # hidden 64): the quantization-step bound above is the exactness check,
     # this is the sanity floor
     assert cos > 0.9, cos
+
+
+def test_int8_kv_cache_attention_exact_and_pipeline():
+    """int8 KV-cache tier (ops/kv_cache.py): the per-token-head scale
+    factors out of both decode matmuls, so quantized-cache attention must
+    equal attention over the explicitly dequantized cache; and the full
+    generate pipeline runs with tokens matching the bf16-cache run on the
+    seeded tiny model."""
+    import dataclasses
+
+    from glimpseprune_tpu.ops.attention import decode_attention
+    from glimpseprune_tpu.ops.kv_cache import (
+        alloc_cache,
+        cache_layer,
+        cache_set_prefix,
+        quantize_kv,
+    )
+
+    rng = np.random.default_rng(0)
+    B, T, Hkv, D, Hq = 2, 16, 2, 8, 4
+    kv = jnp.asarray(rng.standard_normal((1, B, T, Hkv, D)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, 1, Hq, D)), jnp.float32)
+    valid = jnp.asarray(rng.random((B, T)) < 0.8)
+
+    cache = cache_set_prefix(alloc_cache((1, B, T, Hkv, D), jnp.float32, "int8"), kv)
+    layer = cache_layer(cache, jnp.int32(0))
+    # explicit dequant oracle
+    deq = (layer["q"].astype(jnp.float32) * layer["s"][..., None])
+    out_q = decode_attention(q, layer, layer, valid)
+    out_d = decode_attention(q, deq, deq, valid)
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_d), rtol=2e-5, atol=2e-5)
+
+    # quantization error itself is bounded by one step per channel
+    qq, ss = quantize_kv(kv)
+    back = qq.astype(jnp.float32) * ss[..., None]
+    assert float(jnp.abs(back - kv).max()) <= float(ss.max()) * 0.51 + 1e-6
+
+    # pipeline: seeded tiny model, greedy tokens match across cache tiers
+    cfg = tiny_test_config()
+    rngb = np.random.default_rng(0)
+    prep, _ = build_batch(cfg, rngb, with_labels=False)
+    _, params = init_params(cfg, prep)
+    out_bf = GlimpsePruneRunner(cfg, params).generate(prep, max_new_tokens=6)
+
+    cfg_q = dataclasses.replace(
+        cfg, text=dataclasses.replace(cfg.text, kv_cache_quant="int8")
+    )
+    out_q8 = GlimpsePruneRunner(cfg_q, params).generate(prep, max_new_tokens=6)
+    # a random-init tiny model flips greedy picks on near-ties as int8 cache
+    # noise accumulates; early steps must agree (few perturbed reads)
+    np.testing.assert_array_equal(
+        np.asarray(out_bf.sequences)[:, :3], np.asarray(out_q8.sequences)[:, :3]
+    )
