@@ -179,15 +179,37 @@ class CondSdpaAttention(nn.Module):
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
 
-        allowed = (segment_ids[:, :, None] == segment_ids[:, None, :]) & (
-            segment_ids >= 0
-        )[:, :, None]
-        allowed = allowed | jnp.eye(n, dtype=bool)[None]
-        scale = 1.0 / jnp.sqrt(jnp.float32(q.shape[-1]))
-        logits = jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32) * scale
-        logits = jnp.where(allowed[:, None], logits, -1e30)
-        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhst,bthd->bshd", probs, v).reshape(b, n, self.hidden_size)
+        from glimpseprune_tpu.ops.attention import ATTENTION_IMPL, _use_flash
+
+        if _use_flash(n):
+            # the dense path materializes an f32 [B, H, N, N] score matrix —
+            # 4 GB per row at the 16k-token operating point, the single
+            # largest prefill allocation. Flash streams it. The qk head dim
+            # (hidden+cond)/H differs from the v head dim (hidden/H): pad v
+            # up — the zero columns contribute nothing and PV is the minor
+            # cost here
+            from glimpseprune_tpu.ops.pallas.flash_attention import flash_attention
+
+            dv = v.shape[-1]
+            vp = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, q.shape[-1] - dv)))
+            out = flash_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                vp.transpose(0, 2, 1, 3), segment_ids, segment_ids,
+                causal=False, interpret=ATTENTION_IMPL == "flash_interpret",
+            )[..., :dv]
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, self.hidden_size)
+        else:
+            allowed = (segment_ids[:, :, None] == segment_ids[:, None, :]) & (
+                segment_ids >= 0
+            )[:, :, None]
+            # padding rows attend to themselves only (flash zeroes them; both
+            # land on rows masked out downstream)
+            allowed = allowed | jnp.eye(n, dtype=bool)[None]
+            scale = 1.0 / jnp.sqrt(jnp.float32(q.shape[-1]))
+            logits = jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32) * scale
+            logits = jnp.where(allowed[:, None], logits, -1e30)
+            probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhst,bthd->bshd", probs, v).reshape(b, n, self.hidden_size)
         return nn.Dense(self.hidden_size, use_bias=False, dtype=self.dtype, name="o_proj")(out)
 
 

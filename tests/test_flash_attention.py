@@ -194,3 +194,45 @@ def test_fused_window_attention_matches_unfused():
     ref, got = np.asarray(ref), np.asarray(got)
     vm = np.asarray(valid)
     np.testing.assert_allclose(got[vm], ref[vm], rtol=2e-5, atol=2e-5)
+
+
+def test_fuser_cond_attention_flash_matches_dense():
+    """CondSdpaAttention's flash path (streams the [N, N] scores — the dense
+    f32 matrix is 4 GB/row at 16k tokens) == the dense XLA path on valid
+    rows; padding rows differ by design (flash zeroes, dense self-attends)
+    and are masked downstream."""
+    import numpy as np
+
+    from glimpseprune_tpu.gp.fuser import CondSdpaAttention
+    from glimpseprune_tpu.ops import attention as A
+    from glimpseprune_tpu.ops.rope import vision_rope_cos_sin
+
+    rng = np.random.default_rng(0)
+    B, N, HID, COND, H = 2, 256, 32, 16, 2
+    x = jnp.asarray(rng.standard_normal((B, N, HID)), jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((B, N, COND)), jnp.float32)
+    seg = jnp.asarray(
+        np.where(rng.random((B, N)) < 0.1, -1, rng.integers(0, 3, (B, N))),
+        jnp.int32,
+    )
+    pos = jnp.asarray(rng.integers(0, 16, (N, 2)), jnp.int32)
+    dqk = (HID + COND) // H
+    cos, sin = vision_rope_cos_sin(pos, dqk)
+    cos, sin = cos[None], sin[None]
+    valid = seg >= 0
+
+    mod = CondSdpaAttention(HID, COND, H)
+    params = mod.init(jax.random.PRNGKey(0), x, cond, seg, cos, sin, valid)
+
+    old = A.ATTENTION_IMPL
+    try:
+        A.set_attention_impl("xla")
+        ref = mod.apply(params, x, cond, seg, cos, sin, valid)
+        A.set_attention_impl("flash_interpret")
+        got = mod.apply(params, x, cond, seg, cos, sin, valid)
+    finally:
+        A.set_attention_impl(old)
+    vm = np.asarray(valid)
+    np.testing.assert_allclose(
+        np.asarray(got)[vm], np.asarray(ref)[vm], rtol=2e-4, atol=2e-4
+    )
