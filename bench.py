@@ -11,8 +11,8 @@ viscot_eval/infer_cot.py:116-119). Each side runs at its max feasible
 batch — KV-cache residency is what caps batch, and the 12x-smaller
 compacted cache is GP's production win:
 
-  value       = pruned generated tokens/sec/chip (B=16)
-  vs_baseline = vs the SAME stack unpruned at ITS max batch (B=6)
+  value       = pruned generated tokens/sec/chip (B=28)
+  vs_baseline = vs the SAME stack unpruned at ITS max batch (B=7)
 
 BENCH_MODE=e2e selects the single-request protocol instead (run():
 end-to-end generate wall-clock, prefill + decode sub-ratios in detail —
@@ -389,10 +389,12 @@ def run_serving(scale: str):
         + [int(x) for x in rng.integers(5, 100000, 24)]
     )
     # defaults = the measured feasibility frontier on one 16 GB v5e chip
-    # (int8 weights + int8 KV): pruned B=24 and unpruned B=8 both OOM
+    # (int8 weights + int8 KV): unpruned B=8 OOMs; by B=28/7 both sides'
+    # per-row costs have saturated (unpruned ~7.15 s/row vs pruned ~3.8),
+    # so these read the asymptotic throughput ratio
     chunk_b = int(_os.environ.get("BENCH_SERVE_CHUNK", "1"))
-    rows_p = int(_os.environ.get("BENCH_SERVE_ROWS_P", "16"))
-    rows_u = int(_os.environ.get("BENCH_SERVE_ROWS_U", "6"))
+    rows_p = int(_os.environ.get("BENCH_SERVE_ROWS_P", "28"))
+    rows_u = int(_os.environ.get("BENCH_SERVE_ROWS_U", "7"))
     n_dec = int(_os.environ.get("BENCH_DECODE", "1024"))
     prep = prepare_inputs(cfg, [prompt] * chunk_b, [img] * chunk_b,
                           max_pixels=max_px)

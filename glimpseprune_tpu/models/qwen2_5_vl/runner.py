@@ -921,12 +921,21 @@ class GlimpsePruneRunner:
             from glimpseprune_tpu.ops.kv_cache import alloc_cache, cache_set_prefix
 
             T = R + n_chunks * chunk
-            L = cfg.text.num_hidden_layers
-            shape = (L, B, T, cfg.text.num_key_value_heads, cfg.text.head_dim)
             kv_quant = getattr(cfg.text, "kv_cache_quant", "none")
             kv_quant = "" if kv_quant == "none" else kv_quant
-            k_cache = cache_set_prefix(alloc_cache(shape, kv_k.dtype, kv_quant), kv_k)
-            v_cache = cache_set_prefix(alloc_cache(shape, kv_v.dtype, kv_quant), kv_v)
+
+            # ONE jitted program for alloc + (quantize +) prefix write: run
+            # eagerly over the tunnel, each jnp op is its own executable and
+            # the int8 quant chain materializes several f32-sized
+            # intermediates — enough to OOM a max-batch cache build
+            @functools.partial(jax.jit, static_argnames=("t",))
+            def _build(kv, t):
+                c = alloc_cache(kv.shape[:2] + (t,) + kv.shape[3:], kv.dtype,
+                                kv_quant)
+                return cache_set_prefix(c, kv)
+
+            k_cache = _build(kv_k, t=T)
+            v_cache = _build(kv_v, t=T)
         kv_valid = jnp.concatenate(
             [r_valid, jnp.zeros((B, T - R), dtype=bool)], axis=1
         )

@@ -40,8 +40,14 @@ def is_quantized(cache: Any) -> bool:
 
 
 def quantize_kv(kv: jnp.ndarray):
-    """bf16 [..., D] -> (int8 [..., D], f32 scale [...])."""
-    amax = jnp.max(jnp.abs(kv.astype(jnp.float32)), axis=-1)
+    """bf16 [..., D] -> (int8 [..., D], f32 scale [...]).
+
+    The amax reduction runs in kv's own dtype (abs/max are exact in bf16)
+    so the f32 upcast appears only inside the elementwise quant chain —
+    sharing `kv.astype(f32)` between the two passes makes XLA materialize
+    a full f32 copy of the prefix (2x cache bytes of temp at cache build,
+    enough to OOM a max-batch serving assembly)."""
+    amax = jnp.max(jnp.abs(kv), axis=-1).astype(jnp.float32)
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(
         jnp.round(kv.astype(jnp.float32) / scale[..., None]), -127, 127
