@@ -19,6 +19,12 @@ end-to-end generate wall-clock, prefill + decode sub-ratios in detail —
 prefill-only ratio is Amdahl-capped at ~1.13x by reference parity, see
 docs/ROUND2.md).
 
+Weights are random-init (no checkpoints in this environment); under a
+quantized tier the int8 kernels init to their placeholder zeros — the
+arithmetic is dense either way, so wall-clock does not depend on weight
+values. Runs that need a LEARNABLE base (tools/convergence_run.py --quant)
+init real weights on the host and quantize them instead.
+
 Env knobs: BENCH_SCALE=7b|3b|1b, BENCH_QUANT=int8|int4|'',
 BENCH_KV_QUANT=int8|none, BENCH_MAX_PIXELS=N (0 -> ~1M px / 1.3k tokens),
 BENCH_DECODE=N steps, BENCH_BATCH, BENCH_USE_REF, BENCH_REDUCE_LAYER,

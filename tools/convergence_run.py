@@ -69,6 +69,8 @@ def make_synth_corpus(root: str, n: int, img_side: int, seed: int = 0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", default="3b", choices=["tiny", "1b", "3b", "7b"])
+    ap.add_argument("--quant", default="", choices=["", "int8", "int4"],
+                    help="weight tier for the frozen base (7b needs int8 on one chip)")
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--n-samples", type=int, default=256)
     ap.add_argument("--img-side", type=int, default=560)
@@ -119,8 +121,7 @@ def main():
                               normed_bboxes=[[[0.2, 0.2, 0.5, 0.5]]],
                               answer_ids=[[9, 10]])
         model0 = Qwen2_5_VL_GP(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
-        init_jit = jax.jit(model0.init, static_argnums=(16,))
-        params = init_jit(
+        init_args = (
             jax.random.PRNGKey(0),
             jnp.asarray(prep.input_ids), jnp.asarray(prep.valid),
             jnp.asarray(prep.position_ids), jnp.asarray(prep.patches),
@@ -130,7 +131,33 @@ def main():
             jnp.asarray(prep.fuser.window_index), jnp.asarray(prep.fuser.reverse_index),
             jnp.asarray(prep.fuser.segment_ids), jnp.asarray(prep.fuser.pos_ids),
             jnp.asarray(prep.le_start), prep.out_len,
-        )["params"]
+        )
+        if args.quant:
+            # int8 frozen base so 7B fits one 16 GB chip; the trainable GP
+            # modules stay fp (outside quantization.DEFAULT_INCLUDE).
+            # Init the REAL random weights on the host CPU and quantize
+            # them — initializing under the quantized param declarations
+            # would leave the int8 kernels at their zero placeholders (a
+            # valid shape for timing benches, a degenerate base for
+            # training)
+            from glimpseprune_tpu.quantization import (
+                quantize_int4,
+                quantize_int8,
+                quantized_config,
+            )
+
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                fp_params = jax.jit(model0.init, static_argnums=(16,))(
+                    *jax.device_put(init_args[:-1], cpu), prep.out_len
+                )["params"]
+            qfn = quantize_int8 if args.quant == "int8" else quantize_int4
+            params = jax.device_put(qfn(fp_params), jax.devices()[0])
+            del fp_params
+            cfg = quantized_config(cfg, args.quant)
+        else:
+            init_jit = jax.jit(model0.init, static_argnums=(16,))
+            params = init_jit(*init_args)["params"]
 
     from glimpseprune_tpu.models.qwen2_5_vl.gp_model import Qwen2_5_VL_GP
 
