@@ -407,6 +407,19 @@ class GenerateResult:
     prune_ratio: Optional[np.ndarray]  # [B] fraction of image tokens dropped
 
 
+@functools.partial(jax.jit, static_argnames=("t", "quant"))
+def _build_decode_cache(kv, t: int, quant: str):
+    """Decode-cache build as ONE jitted program (module-level so the jit
+    cache persists across calls — a per-call jit object recompiles every
+    generate, ~1.3 s over the axon tunnel). Eagerly, each jnp op is its own
+    executable and the int8 quant chain materializes f32-sized
+    intermediates — enough to OOM a max-batch serving assembly."""
+    from glimpseprune_tpu.ops.kv_cache import alloc_cache, cache_set_prefix
+
+    c = alloc_cache(kv.shape[:2] + (t,) + kv.shape[3:], kv.dtype, quant)
+    return cache_set_prefix(c, kv)
+
+
 class GlimpsePruneRunner:
     """Owns params + jitted phase functions; the user-facing generate() API."""
 
@@ -918,24 +931,11 @@ class GlimpsePruneRunner:
             T = int(prealloc_t)
             k_cache, v_cache = kv_k, kv_v
         else:
-            from glimpseprune_tpu.ops.kv_cache import alloc_cache, cache_set_prefix
-
             T = R + n_chunks * chunk
             kv_quant = getattr(cfg.text, "kv_cache_quant", "none")
             kv_quant = "" if kv_quant == "none" else kv_quant
-
-            # ONE jitted program for alloc + (quantize +) prefix write: run
-            # eagerly over the tunnel, each jnp op is its own executable and
-            # the int8 quant chain materializes several f32-sized
-            # intermediates — enough to OOM a max-batch cache build
-            @functools.partial(jax.jit, static_argnames=("t",))
-            def _build(kv, t):
-                c = alloc_cache(kv.shape[:2] + (t,) + kv.shape[3:], kv.dtype,
-                                kv_quant)
-                return cache_set_prefix(c, kv)
-
-            k_cache = _build(kv_k, t=T)
-            v_cache = _build(kv_v, t=T)
+            k_cache = _build_decode_cache(kv_k, t=T, quant=kv_quant)
+            v_cache = _build_decode_cache(kv_v, t=T, quant=kv_quant)
         kv_valid = jnp.concatenate(
             [r_valid, jnp.zeros((B, T - R), dtype=bool)], axis=1
         )

@@ -18,6 +18,7 @@ import numpy as np
 
 def main():
     scale = sys.argv[1] if len(sys.argv) > 1 else "7b"
+    kv_quant = sys.argv[2] if len(sys.argv) > 2 else ""
     os.environ.setdefault("BENCH_QUANT", "int8" if scale == "7b" else "")
 
     import jax
@@ -72,9 +73,11 @@ def main():
 
     STEPS = 32
 
+    from glimpseprune_tpu.ops.kv_cache import alloc_cache
+
     for T in (2048, 8192, 16896):
-        kc = jnp.zeros((L, B, T, Hkv, D), jnp.bfloat16)
-        vc = jnp.zeros_like(kc)
+        kc = alloc_cache((L, B, T, Hkv, D), jnp.bfloat16, kv_quant)
+        vc = alloc_cache((L, B, T, Hkv, D), jnp.bfloat16, kv_quant)
         kvv = jnp.ones((B, T), bool).at[:, T - STEPS:].set(False)
 
         @jax.jit
