@@ -146,6 +146,13 @@ class GPConfig:
     # threshold (replaces data-dependent shapes of reference
     # model_gp.py:1552-1659).
     keep_budget: Optional[int] = None
+    # Extension (NOT reference semantics): apply threshold/cap/floor per
+    # image instead of per row on multi-image rows. The reference's
+    # _get_remain_masks (model_gp.py:1495-1549) iterates per BATCH ROW with
+    # all images' logits concatenated, so cap/floor budgets span the whole
+    # row — executably verified by tests/test_reference_differential.py.
+    # True gives each image its own balanced budget.
+    per_image_policy: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "selected_layers", _tupled(self.selected_layers) or ())

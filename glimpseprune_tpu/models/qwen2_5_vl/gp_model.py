@@ -204,6 +204,7 @@ class Qwen2_5_VL_GP(nn.Module):
         use_ref_masks: bool = False,
         training: bool = False,
         img_group: Optional[jnp.ndarray] = None,  # [B, N] multi-image ids
+        return_harvest: bool = False,  # debug: also return the fuser input
     ) -> Tuple[jnp.ndarray, GlimpseState, Optional[jnp.ndarray]]:
         c = self.cfg
         gp = c.gp
@@ -219,6 +220,13 @@ class Qwen2_5_VL_GP(nn.Module):
         inject_le = gp.has_le and not use_ref_masks and le_start is not None
         le_mask = jnp.zeros((B, S), dtype=bool)
         le_vecs = le_offset = le_inside = None
+        if gp.has_le and le_start is not None and not inject_le:
+            # use_ref_masks: the reference never appends le tokens at all
+            # (model_gp.py:1256-1259 guards _append_le on `not use_ref_masks`),
+            # but the host prep always reserves the slots — make them behave
+            # as absent: invisible to attention, dropped from the reduction.
+            _, le_reserved = self._le_geometry(le_start, S, gp.le_length)
+            valid = valid & ~le_reserved
         if inject_le:
             le_vecs = self._le_vectors_all(training)  # [L, le_len, H]
             le_offset, le_inside = self._le_geometry(le_start, S, gp.le_length)
@@ -277,6 +285,7 @@ class Qwen2_5_VL_GP(nn.Module):
             le_loss = (nll * mask).sum() / jnp.maximum(mask.sum(), 1)
 
         # ---- predict mask logits
+        harvest_dbg = None
         if use_ref_masks:
             assert ref_token_masks is not None
             mask_logits = jnp.where(ref_token_masks, jnp.inf, -jnp.inf)[None]
@@ -292,6 +301,8 @@ class Qwen2_5_VL_GP(nn.Module):
             # would turn 0 * -inf into NaN — clamp first
             attn_map = jnp.maximum(attn_map, -1e30)
             attn_map = _gather_rows(attn_map, img_slots, img_valid)  # [B, N, n_sel*Hq]
+            harvest_dbg = attn_map  # fuser input (reference catted_attn_map,
+                                    # model_gp.py:1200-1204) for differential tests
             taps_rows = [
                 _gather_rows(
                     jnp.broadcast_to(taps[i][None], (B,) + taps[i].shape),
@@ -320,6 +331,8 @@ class Qwen2_5_VL_GP(nn.Module):
             img_valid=img_valid,
             img_group=img_group,
         )
+        if return_harvest:
+            return mask_logits, state, le_loss, harvest_dbg
         return mask_logits, state, le_loss
 
     # ------------------------------------------------------------------ #
@@ -337,8 +350,10 @@ class Qwen2_5_VL_GP(nn.Module):
         B, S = state.input_ids.shape
 
         probs = jax.nn.sigmoid(mask_logits[-1].astype(jnp.float32))
-        if state.img_group is not None:
-            # multi-image rows: per-image threshold/cap/floor
+        if gp.per_image_policy and state.img_group is not None:
+            # opt-in extension: per-image threshold/cap/floor. The reference
+            # applies the policy per ROW with all images concatenated
+            # (model_gp.py:1495-1549; differential-tested).
             keep_img = keep_scores_with_policy_grouped(
                 probs, state.img_valid, state.img_group,
                 gp.reduce_threshold, gp.max_remain_ratio, gp.min_remain_num,

@@ -119,9 +119,12 @@ def keep_scores_with_policy_grouped(
     anchor_mask: Optional[jnp.ndarray] = None,
     max_groups: int = 8,
 ) -> jnp.ndarray:
-    """Per-image keep policy for multi-image rows: the reference applies
-    threshold/ratio-cap/min-floor to each image's logits independently
-    (model_gp.py:1495-1549 iterates per-image lists). Same semantics here
+    """Per-image keep policy for multi-image rows — an EXTENSION, not the
+    reference semantics: the reference's _get_remain_masks
+    (model_gp.py:1495-1549) iterates per batch row with all images' logits
+    concatenated, so its ratio-cap/min-floor budgets span the whole row
+    (executably verified by tests/test_reference_differential.py). Enable
+    via GPConfig.per_image_policy for balanced per-image budgets; computed
     with group-wise ranks/counts in static shapes; max_groups bounds the
     images per row (static)."""
     probs = probs.astype(jnp.float32)
