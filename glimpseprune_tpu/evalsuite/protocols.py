@@ -21,8 +21,12 @@ scoring protocol and native file format directly:
 - **VQAv2 / VizWiz**: official 10-annotator consensus accuracy
   min(#matches/3, 1) with the official answer normalization
   (contractions, digit words, articles, punctuation).
-- **seedbench / scienceqa_img / vstar**: multiple-choice letter accuracy
-  (shortform.multiple_choice_accuracy).
+- **SEED-Bench**: official SEED-Bench.json loader (image subset), letter
+  accuracy overall + per question_type dimension.
+- **ScienceQA (img)**: official problems.json loader (image rows of a
+  split), Context/Question/choices prompt, letter accuracy.
+- **V-star**: jsonl loader ({text, label, category}), per-category accuracies
+  (direct_attributes / relative_position) and their mean.
 """
 
 from __future__ import annotations
@@ -418,3 +422,207 @@ def score_gqa(items: Sequence[GQAItem]) -> Dict[str, float]:
         vqa_normalize(i.response or "") == vqa_normalize(i.answer) for i in items
     ]
     return {"accuracy": float(np.mean(hits)) if hits else 0.0, "num": len(items)}
+
+
+# --------------------------------------------------------------------------- #
+# SEED-Bench
+# --------------------------------------------------------------------------- #
+
+
+@dataclass
+class SeedBenchItem:
+    question_id: Any
+    question: str
+    options: Dict[str, str]          # letter -> choice text
+    answer: str                      # gt letter
+    question_type_id: int = 0
+    question_type: str = ""          # resolved dimension name
+    data_id: str = ""                # image filename
+    response: Optional[str] = None
+
+
+def load_seedbench_json(path: str, image_only: bool = True) -> List[SeedBenchItem]:
+    """Official SEED-Bench.json: {"questions": [{question, choice_a..choice_d,
+    answer, question_id, question_type_id, data_id, data_type}, ...],
+    "question_type": {name: id}}. The reference's `seedbench` lmms-eval task
+    evaluates the image subset (data_type == "image"); question_type_id maps
+    to a dimension name for the official per-dimension aggregation."""
+    with open(path) as f:
+        data = json.load(f)
+    type_by_id = {v: k for k, v in data.get("question_type", {}).items()}
+    items = []
+    for q in data["questions"]:
+        if image_only and q.get("data_type", "image") != "image":
+            continue
+        options = {}
+        for i, key in enumerate(("choice_a", "choice_b", "choice_c", "choice_d")):
+            if q.get(key) is not None:
+                options[chr(ord("A") + i)] = str(q[key])
+        tid = int(q.get("question_type_id", 0))
+        items.append(SeedBenchItem(
+            question_id=q.get("question_id"),
+            question=q.get("question", ""),
+            options=options,
+            answer=str(q.get("answer", "")).strip().upper(),
+            question_type_id=tid,
+            question_type=type_by_id.get(tid, str(tid)),
+            data_id=str(q.get("data_id", "")),
+        ))
+    return items
+
+
+def build_seedbench_prompt(item: SeedBenchItem) -> str:
+    """lmms-eval seedbench prompt: question, lettered choices, direct-letter
+    instruction."""
+    parts = [item.question]
+    for k in sorted(item.options):
+        parts.append(f"{k}. {item.options[k]}")
+    parts.append("Answer with the option's letter from the given choices directly.")
+    return "\n".join(parts)
+
+
+def score_seedbench(items: Sequence[SeedBenchItem]) -> Dict[str, Any]:
+    """Overall accuracy + the official per-dimension (question_type) split."""
+    per_dim: Dict[str, List[bool]] = {}
+    hits = []
+    for it in items:
+        ok = extract_choice_letter(it.response or "", it.options) == it.answer
+        hits.append(ok)
+        per_dim.setdefault(it.question_type or "unknown", []).append(ok)
+    return {
+        "accuracy": float(np.mean(hits)) if hits else 0.0,
+        "num": len(items),
+        "dimensions": {d: float(np.mean(v)) for d, v in sorted(per_dim.items())},
+    }
+
+
+# --------------------------------------------------------------------------- #
+# ScienceQA (image subset)
+# --------------------------------------------------------------------------- #
+
+
+@dataclass
+class ScienceQAItem:
+    question_id: str
+    question: str
+    options: Dict[str, str]          # letter -> choice text
+    answer: str                      # gt letter (chr(65 + answer index))
+    hint: str = ""
+    image: Optional[str] = None      # image filename (None = text-only row)
+    split: str = "test"
+    response: Optional[str] = None
+
+
+def load_scienceqa_problems(
+    path: str, split: Optional[str] = "test", image_only: bool = True
+) -> List[ScienceQAItem]:
+    """Official ScienceQA problems.json: {qid: {question, choices: [str],
+    answer: int, hint, image, split, ...}}. scienceqa_img keeps only rows
+    with an image in the requested split; the int answer index becomes the
+    gt letter."""
+    with open(path) as f:
+        data = json.load(f)
+    items = []
+    for qid, row in data.items():
+        if split is not None and row.get("split") != split:
+            continue
+        if image_only and not row.get("image"):
+            continue
+        options = {
+            chr(ord("A") + i): str(c) for i, c in enumerate(row.get("choices", []))
+        }
+        items.append(ScienceQAItem(
+            question_id=str(qid),
+            question=row.get("question", ""),
+            options=options,
+            answer=chr(ord("A") + int(row.get("answer", 0))),
+            hint=(row.get("hint") or "").strip(),
+            image=row.get("image"),
+            split=row.get("split", ""),
+        ))
+    items.sort(key=lambda x: x.question_id)
+    return items
+
+
+def build_scienceqa_prompt(item: ScienceQAItem) -> str:
+    """lmms-eval scienceqa_img prompt: optional context (hint), question,
+    lettered choices, direct-letter instruction."""
+    parts = []
+    if item.hint:
+        parts.append(f"Context: {item.hint}")
+    parts.append(f"Question: {item.question}")
+    for k in sorted(item.options):
+        parts.append(f"{k}. {item.options[k]}")
+    parts.append("Answer with the option's letter from the given choices directly.")
+    return "\n".join(parts)
+
+
+def score_scienceqa(items: Sequence[ScienceQAItem]) -> Dict[str, Any]:
+    hits = [
+        extract_choice_letter(it.response or "", it.options) == it.answer
+        for it in items
+    ]
+    return {"accuracy": float(np.mean(hits)) if hits else 0.0, "num": len(items)}
+
+
+# --------------------------------------------------------------------------- #
+# V* Bench
+# --------------------------------------------------------------------------- #
+
+
+@dataclass
+class VStarItem:
+    question_id: Any
+    text: str                        # full prompt (question + options), as shipped
+    options: Dict[str, str]          # letter -> option text (parsed from `text`)
+    label: str                       # gt letter
+    category: str = ""               # direct_attributes / relative_position
+    image: str = ""
+    response: Optional[str] = None
+
+
+_VSTAR_OPTION_RE = re.compile(r"^\(?([A-D])[\).]\s*(.+)$")
+
+
+def load_vstar_jsonl(path: str) -> List[VStarItem]:
+    """vstar_bench rows ({question_id, image, text, label, category}, one
+    json object per line or a json list): `text` is the full prompt with the
+    lettered options inlined; `label` is the gt letter; `category` is the
+    official split (direct_attributes / relative_position). Option texts are
+    parsed back out of `text` for letter extraction."""
+    with open(path) as f:
+        head = f.read().strip()
+    rows = json.loads(head) if head.startswith("[") else [
+        json.loads(line) for line in head.splitlines() if line.strip()
+    ]
+    items = []
+    for row in rows:
+        options: Dict[str, str] = {}
+        for line in str(row.get("text", "")).splitlines():
+            m = _VSTAR_OPTION_RE.match(line.strip())
+            if m:
+                options[m.group(1).upper()] = m.group(2).strip()
+        items.append(VStarItem(
+            question_id=row.get("question_id"),
+            text=row.get("text", ""),
+            options=options,
+            label=str(row.get("label", "")).strip().upper(),
+            category=row.get("category", ""),
+            image=row.get("image", ""),
+        ))
+    return items
+
+
+def score_vstar(items: Sequence[VStarItem]) -> Dict[str, Any]:
+    """Per-category accuracy + their mean (the official V* aggregation
+    averages the two category accuracies)."""
+    per_cat: Dict[str, List[bool]] = {}
+    for it in items:
+        ok = extract_choice_letter(it.response or "", it.options) == it.label
+        per_cat.setdefault(it.category or "overall", []).append(ok)
+    cats = {c: float(np.mean(v)) for c, v in sorted(per_cat.items())}
+    return {
+        "accuracy": float(np.mean(list(cats.values()))) if cats else 0.0,
+        "num": len(items),
+        "categories": cats,
+    }

@@ -132,11 +132,10 @@ def score_task(task: str, items):
         responses = [r for r, _ in items]
         gt = [a for _, a in items]
         return {"accuracy": P.vqav2_accuracy(responses, gt), "num": len(items)}
-    if task in ("seedbench", "scienceqa_img", "vstar", "vstar_bench"):
-        responses = [r for r, _ in items]
-        answers = [a for _, a in items]
-        return {
-            "accuracy": multiple_choice_accuracy(responses, answers),
-            "num": len(items),
-        }
+    if task == "seedbench":
+        return P.score_seedbench(items)
+    if task == "scienceqa_img":
+        return P.score_scienceqa(items)
+    if task in ("vstar", "vstar_bench"):
+        return P.score_vstar(items)
     raise KeyError(f"Unknown benchmark task {task!r}")

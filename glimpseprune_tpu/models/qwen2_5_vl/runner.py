@@ -819,10 +819,23 @@ class GlimpsePruneRunner:
         do_selection: bool = True,
         use_ref_masks: bool = False,
         eos_token_id: Optional[int] = None,
-        check_eos_every: int = 8,
+        check_eos_every: Optional[int] = None,
         temperature: float = 0.0,
         rng=None,
+        stop_sequences: Optional[Sequence[Sequence[int]]] = None,
     ) -> GenerateResult:
+        """check_eos_every sets the decode-chunk granularity: eos / stop-
+        sequence early exit can only happen at chunk boundaries (decode runs
+        as on-device lax.scan chunks; a finer check means more host
+        round-trips). None = the 32-step default.
+
+        stop_sequences: multi-token stop id sequences checked host-side
+        between chunks — the id-level equivalent of the reference's
+        KeywordsStoppingCriteria (llava_gp/mm_utils.py:236-264; e.g. vicuna
+        "</s>" or "USER:" keyword stops). A matched row stops generating and
+        its output is trimmed BEFORE the matched sequence (the reference's
+        callers strip the stop string with outputs.split(stop_str)[0],
+        infer_cot.py-style); plain eos is still trimmed inclusively."""
         cfg = self.cfg
         eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
         B = prep.input_ids.shape[0]
@@ -865,7 +878,9 @@ class GlimpsePruneRunner:
 
         seqs, n_gen = self._decode_loop(
             logits, r_valid, r_pos, kv_k, kv_v, max_new_tokens, eos,
-            check_eos_every, temperature=temperature, rng=rng,
+            temperature=temperature, rng=rng,
+            chunk_size=32 if check_eos_every is None else max(1, check_eos_every),
+            stop_sequences=stop_sequences,
         )
         return GenerateResult(
             sequences=seqs,
@@ -876,8 +891,9 @@ class GlimpsePruneRunner:
         )
 
     def _decode_loop(self, logits, r_valid, r_pos, kv_k, kv_v, max_new_tokens,
-                     eos, check_eos_every=8, temperature: float = 0.0,
-                     rng=None, chunk_size: int = 32, prealloc_t=None):
+                     eos, temperature: float = 0.0,
+                     rng=None, chunk_size: int = 32, prealloc_t=None,
+                     stop_sequences=None):
         """Decode over a compacted KV prefix; shared by every method.
 
         Runs `chunk_size` steps per jitted lax.scan call (on-device argmax/
@@ -893,6 +909,7 @@ class GlimpsePruneRunner:
         gen = self._run_decode(
             logits, r_valid, r_pos, kv_k, kv_v, max_new_tokens, eos,
             temperature, rng, chunk_size, prealloc_t=prealloc_t,
+            stop_sequences=stop_sequences,
         )
         while True:
             try:
@@ -900,21 +917,43 @@ class GlimpsePruneRunner:
             except StopIteration as stop:
                 seqs = stop.value
                 break
-        return self._trim_eos(seqs, max_new_tokens, eos)
+        return self._trim_eos(seqs, max_new_tokens, eos, stop_sequences)
 
-    def _trim_eos(self, seqs, max_new_tokens, eos):
+    @staticmethod
+    def _first_stop_match(row: np.ndarray, stop_sequences) -> int:
+        """Earliest start index of any stop id-sequence in row, or -1."""
+        best = -1
+        for seq in stop_sequences:
+            seq = np.asarray(seq, dtype=row.dtype)
+            n = len(seq)
+            if n == 0 or n > len(row):
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(row, n)
+            hits = np.nonzero((win == seq).all(axis=1))[0]
+            if len(hits) and (best < 0 or hits[0] < best):
+                best = int(hits[0])
+        return best
+
+    def _trim_eos(self, seqs, max_new_tokens, eos, stop_sequences=None):
         seqs = seqs[:, :max_new_tokens]
-        # replace everything after the first eos with eos; count generated
+        # replace everything after the first eos (inclusive) / the first stop
+        # sequence (exclusive — callers strip the stop string,
+        # llava_gp/mm_utils.py:236) with eos; count generated tokens
         n_gen = np.zeros((seqs.shape[0],), dtype=np.int64)
         for b in range(seqs.shape[0]):
             hits = np.nonzero(seqs[b] == eos)[0]
             end = int(hits[0]) + 1 if len(hits) else max_new_tokens
-            n_gen[b] = end if len(hits) else max_new_tokens
+            if stop_sequences:
+                s = self._first_stop_match(seqs[b, :end], stop_sequences)
+                if s >= 0:
+                    end = s
+            n_gen[b] = end
             seqs[b, end:] = eos
         return seqs, n_gen
 
     def _run_decode(self, logits, r_valid, r_pos, kv_k, kv_v, max_new_tokens,
-                    eos, temperature, rng, chunk_size, prealloc_t=None):
+                    eos, temperature, rng, chunk_size, prealloc_t=None,
+                    stop_sequences=None):
         """Shared decode driver (generator): cache alloc + chunked jitted
         scan, YIELDING each [B, chunk] token array as it lands — the
         streaming hook. Returns seqs [B, n_chunks*chunk] via StopIteration."""
@@ -977,7 +1016,16 @@ class GlimpsePruneRunner:
             toks = np.asarray(toks)
             seqs[:, ci * chunk : (ci + 1) * chunk] = toks
             yield toks
-            if bool(np.asarray(done).all()):
+            finished = np.asarray(done)
+            if stop_sequences:
+                # host-side keyword stop between chunks (the on-device scan
+                # only tracks single-token eos); a matched row counts as done
+                done_sofar = (ci + 1) * chunk
+                finished = finished | np.array([
+                    self._first_stop_match(seqs[b, :done_sofar], stop_sequences) >= 0
+                    for b in range(B)
+                ])
+            if bool(finished.all()):
                 break
         return seqs
 
@@ -991,6 +1039,7 @@ class GlimpsePruneRunner:
         chunk_size: int = 4,
         temperature: float = 0.0,
         rng=None,
+        stop_sequences: Optional[Sequence[Sequence[int]]] = None,
     ):
         """Streaming decode: yields [B, chunk] new-token arrays as they are
         produced (reference demo_gp.py:90-209 streams through a
@@ -1018,8 +1067,9 @@ class GlimpsePruneRunner:
         seqs = yield from self._run_decode(
             out.logits, out.valid, out.position_ids, out.kv_k, out.kv_v,
             max_new_tokens, eos, temperature, rng, chunk_size,
+            stop_sequences=stop_sequences,
         )
-        seqs, n_gen = self._trim_eos(seqs, max_new_tokens, eos)
+        seqs, n_gen = self._trim_eos(seqs, max_new_tokens, eos, stop_sequences)
         return GenerateResult(
             sequences=seqs, num_generated=n_gen, keep_img=keep_img,
             mask_logits=mask_logits, prune_ratio=prune_ratio,
@@ -1040,6 +1090,7 @@ class GlimpsePruneRunner:
         stages: Tuple[Tuple[int, float], ...] = ((8, 0.5), (16, 0.25), (24, 0.125)),
         eos_token_id: Optional[int] = None,
         clip_text_ids=None,
+        stop_sequences: Optional[Sequence[Sequence[int]]] = None,
     ) -> GenerateResult:
         """Run a baseline compressor end-to-end: visionzip / divprune /
         cdpruner prune before the LLM; pdrop (staged) prunes inside it.
@@ -1109,7 +1160,8 @@ class GlimpsePruneRunner:
             kept = jnp.asarray(keep_img.sum(-1))
 
         seqs, n_gen = self._decode_loop(
-            logits, r_valid, r_pos, kv_k, kv_v, max_new_tokens, eos
+            logits, r_valid, r_pos, kv_k, kv_v, max_new_tokens, eos,
+            stop_sequences=stop_sequences,
         )
         keep_np = None if keep_img is None else np.asarray(keep_img)
         return GenerateResult(

@@ -12,16 +12,27 @@ from glimpseprune_tpu.evalsuite.protocols import (
     MMBenchItem,
     MMEItem,
     POPEItem,
+    ScienceQAItem,
+    SeedBenchItem,
+    VStarItem,
     build_mmbench_prompt,
+    build_scienceqa_prompt,
+    build_seedbench_prompt,
     extract_choice_letter,
     load_gqa_questions,
     load_mmbench_tsv,
     load_mme_dir,
     load_pope_jsonl,
+    load_scienceqa_problems,
+    load_seedbench_json,
+    load_vstar_jsonl,
     score_gqa,
     score_mmbench,
     score_mme,
     score_pope,
+    score_scienceqa,
+    score_seedbench,
+    score_vstar,
     vqa_normalize,
     vqav2_accuracy,
 )
@@ -202,12 +213,17 @@ def test_score_task_dispatch_all_reference_tasks():
     assert score_task("vqav2_val_lite", [("yes", ["yes"] * 10)])["accuracy"] == 1.0
     assert score_task("vizwiz_vqa_val", [("cat", ["cat"] * 4)])["accuracy"] == 1.0
     assert score_task("gqa", [GQAItem("1", "q", "yes", response="yes")])["accuracy"] == 1.0
-    assert score_task("scienceqa_img", [("B", "B")])["accuracy"] == 1.0
+    sqa = [ScienceQAItem("1", "q", {"A": "x", "B": "y"}, answer="B", response="B")]
+    assert score_task("scienceqa_img", sqa)["accuracy"] == 1.0
     assert score_task("pope", [POPEItem(0, "q", "yes", response="yes")])["accuracy"] == 1.0
     mme = [MMEItem("1", "existence", "q", "Yes", response="yes")]
     assert score_task("mme", mme)["perception_score"] == 200.0
     mb = [MMBenchItem(1, "q", {"A": "x", "B": "y"}, answer="A", response="A")]
     assert score_task("mmbench_en_test", mb)["accuracy"] == 1.0
     assert score_task("mmbench_cn_test", mb)["accuracy"] == 1.0
-    assert score_task("seedbench", [("C", "C")])["accuracy"] == 1.0
-    assert score_task("vstar_bench", [("(A)", "A")])["accuracy"] == 1.0
+    sb = [SeedBenchItem(1, "q", {"A": "x", "C": "z"}, answer="C",
+                        question_type="scene", response="C")]
+    assert score_task("seedbench", sb)["accuracy"] == 1.0
+    vs = [VStarItem(1, "q\n(A) x\n(B) y", {"A": "x", "B": "y"}, label="A",
+                    category="direct_attributes", response="(A)")]
+    assert score_task("vstar_bench", vs)["accuracy"] == 1.0
