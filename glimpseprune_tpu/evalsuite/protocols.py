@@ -626,3 +626,70 @@ def score_vstar(items: Sequence[VStarItem]) -> Dict[str, Any]:
         "num": len(items),
         "categories": cats,
     }
+
+
+# --------------------------------------------------------------------------- #
+# VQAv2 / VizWiz (open-ended, 10-annotator consensus)
+# --------------------------------------------------------------------------- #
+
+
+@dataclass
+class VQAOpenItem:
+    question_id: Any
+    question: str
+    answers: List[str]               # the 10 annotator answers
+    image_id: Any = ""
+    response: Optional[str] = None
+
+
+def load_vqav2_questions(
+    questions_path: str, annotations_path: Optional[str] = None
+) -> List[VQAOpenItem]:
+    """Official VQA-v2 file pair: questions json
+    {"questions": [{question_id, image_id, question}]} joined with
+    annotations json {"annotations": [{question_id, answers:
+    [{answer, ...} x10]}]} on question_id. Without annotations (test split)
+    `answers` is empty and only responses can be produced, not scored."""
+    with open(questions_path) as f:
+        qdata = json.load(f)
+    ann_by_qid: Dict[Any, List[str]] = {}
+    if annotations_path:
+        with open(annotations_path) as f:
+            adata = json.load(f)
+        for a in adata.get("annotations", []):
+            ann_by_qid[a["question_id"]] = [x["answer"] for x in a.get("answers", [])]
+    items = []
+    for q in qdata.get("questions", []):
+        qid = q["question_id"]
+        items.append(VQAOpenItem(
+            question_id=qid,
+            question=q.get("question", ""),
+            answers=ann_by_qid.get(qid, []),
+            image_id=q.get("image_id", ""),
+        ))
+    return items
+
+
+def load_vizwiz_annotations(path: str) -> List[VQAOpenItem]:
+    """Official VizWiz val/train json: a list of {image, question,
+    answers: [{answer, answer_confidence} x10], answerable}. The image
+    filename doubles as the question id."""
+    with open(path) as f:
+        rows = json.load(f)
+    return [
+        VQAOpenItem(
+            question_id=row.get("image", ""),
+            question=row.get("question", ""),
+            answers=[a["answer"] for a in row.get("answers", [])],
+            image_id=row.get("image", ""),
+        )
+        for row in rows
+    ]
+
+
+def score_vqa_open(items: Sequence[VQAOpenItem]) -> Dict[str, Any]:
+    """Official consensus accuracy min(#matching annotators / 3, 1) averaged
+    over items (see vqav2_accuracy for the per-item normalization rules)."""
+    responses = [it.response or "" for it in items]
+    gt = [it.answers for it in items]
+    return {"accuracy": vqav2_accuracy(responses, gt), "num": len(items)}

@@ -129,6 +129,8 @@ def score_task(task: str, items):
     if task == "gqa":
         return P.score_gqa(items)
     if task in ("vqav2", "vqav2_val_lite", "vizwiz", "vizwiz_vqa_val"):
+        if items and isinstance(items[0], P.VQAOpenItem):
+            return P.score_vqa_open(items)
         responses = [r for r, _ in items]
         gt = [a for _, a in items]
         return {"accuracy": P.vqav2_accuracy(responses, gt), "num": len(items)}
@@ -139,3 +141,94 @@ def score_task(task: str, items):
     if task in ("vstar", "vstar_bench"):
         return P.score_vstar(items)
     raise KeyError(f"Unknown benchmark task {task!r}")
+
+
+# --------------------------------------------------------------------------- #
+# Model-driven short-form runner
+# --------------------------------------------------------------------------- #
+
+# lmms-eval post-prompt conventions for the open-ended tasks (the reference
+# runs these tasks through upstream lmms-eval's yamls; MME questions and
+# V* `text` prompts already carry their instruction inline).
+_SINGLE_WORD = "\nAnswer the question using a single word or phrase."
+_VIZWIZ_POST = (
+    "\nWhen the provided information is insufficient, respond with "
+    "'Unanswerable'.\nAnswer the question using a single word or phrase."
+)
+
+
+def build_task_prompt(task: str, item) -> str:
+    """The text (sans image marker) the model sees for one benchmark item —
+    the per-task context construction the reference delegates to lmms-eval
+    task yamls + my_lmms_eval/models/qwen2_5_vl_gp.py:337-356."""
+    from glimpseprune_tpu.evalsuite import protocols as P
+
+    if task.startswith("mmbench"):
+        return P.build_mmbench_prompt(item)
+    if task == "seedbench":
+        return P.build_seedbench_prompt(item)
+    if task == "scienceqa_img":
+        return P.build_scienceqa_prompt(item)
+    if task in ("vstar", "vstar_bench"):
+        return item.text            # options + instruction shipped inline
+    if task == "mme":
+        return item.question        # ends with "Please answer yes or no."
+    if task == "pope":
+        return item.question + _SINGLE_WORD
+    if task == "gqa":
+        return item.question + _SINGLE_WORD
+    if task in ("vqav2", "vqav2_val_lite"):
+        return item.question + _SINGLE_WORD
+    if task in ("vizwiz", "vizwiz_vqa_val"):
+        return item.question + _VIZWIZ_POST
+    raise KeyError(f"Unknown benchmark task {task!r}")
+
+
+def run_task(
+    runner,
+    task: str,
+    items,
+    tokenize,
+    detokenize,
+    load_image,
+    max_new_tokens: int = 32,
+    batch_size: int = 4,
+    max_pixels: Optional[int] = None,
+    generate_kwargs: Optional[Dict] = None,
+):
+    """Drive one short-form benchmark end-to-end: per-item chat prompt ->
+    prepare_chat_inputs -> runner.generate -> detokenized responses written
+    onto the items -> the task's OFFICIAL score (score_task).
+
+    This is the in-process equivalent of the reference's lmms-eval loop
+    (my_lmms_eval/models/qwen2_5_vl_gp.py:203-371: apply_chat_template over
+    the task-built context, batched generate, postprocessed text per item).
+    `load_image(item) -> np.ndarray` resolves each item's image; tokenize /
+    detokenize are the model's text codec (framework stays tokenizer-
+    agnostic).
+    """
+    from glimpseprune_tpu.models.qwen2_5_vl.runner import prepare_chat_inputs
+
+    items = list(items)
+    kwargs = dict(generate_kwargs or {})
+    for start in range(0, len(items), batch_size):
+        batch = items[start : start + batch_size]
+        messages_list = [
+            [{
+                "role": "user",
+                "content": [
+                    {"type": "image"},
+                    {"type": "text", "text": build_task_prompt(task, it)},
+                ],
+            }]
+            for it in batch
+        ]
+        images = [load_image(it) for it in batch]
+        prep = prepare_chat_inputs(
+            runner.cfg, messages_list, images, tokenize, max_pixels=max_pixels
+        )
+        res = runner.generate(prep, max_new_tokens=max_new_tokens, **kwargs)
+        for b, it in enumerate(batch):
+            ids = res.sequences[b, : res.num_generated[b]]
+            it.response = detokenize([int(x) for x in ids])
+    return score_task(task, items)
