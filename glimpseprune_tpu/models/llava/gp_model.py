@@ -187,7 +187,8 @@ class Llava_GP(Qwen2_5_VL_GP):
             self.le_dropout = nn.Dropout(rate=c.gp.le_dropout_prob)
 
     def vision_encode(self, pixels, pos_ids=None, full_seg=None,
-                      vis_valid=None, emit_importance: bool = False):
+                      vis_valid=None, emit_importance: bool = False,
+                      dense_attn: bool = False):
         """pixels [B, S, S, 3] -> (packed projected embeds [B*G*G, H], taps
         [, importance]). Importance = (cls_attention, keys, cls_attention)
         packed to [B*G*G, ...] — the LLaVA VisionZip dominant metric

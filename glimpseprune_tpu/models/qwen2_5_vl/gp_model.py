@@ -151,10 +151,14 @@ class Qwen2_5_VL_GP(nn.Module):
     # vision
 
     def vision_encode(self, patches, pos_ids, full_seg, vis_valid,
-                      emit_importance: bool = False):
+                      emit_importance: bool = False, dense_attn: bool = False):
         """Window-padded packed patches -> (merged embeds, taps[, importance])
-        in slot order. emit_importance adds VisionZip scores (vision.py)."""
-        return self.visual(patches, pos_ids, full_seg, vis_valid, emit_importance)
+        in slot order. emit_importance adds VisionZip scores (vision.py).
+        dense_attn: static single-unpadded-image promise (runner computes it
+        from the host-side geometry) — full-attention blocks then skip all
+        segment masking in the flash kernel."""
+        return self.visual(patches, pos_ids, full_seg, vis_valid,
+                           emit_importance, dense_attn)
 
     # ------------------------------------------------------------------ #
     # le helpers

@@ -407,6 +407,20 @@ class GenerateResult:
     prune_ratio: Optional[np.ndarray]  # [B] fraction of image tokens dropped
 
 
+def _vis_dense_hint(prep) -> bool:
+    """True iff the packed patch sequence is ONE valid segment (a single
+    unpadded image/video): the ViT full-attention flash kernel then compiles
+    mask-free (static promise; ops/attention.segment_attention(dense=))."""
+    if getattr(prep, "patches", None) is None or prep.full_seg is None:
+        return False
+    fs = np.asarray(prep.full_seg)
+    vv = np.asarray(prep.vis_valid)
+    return (
+        fs.size > 0 and bool(vv.all())
+        and bool((fs == fs.flat[0]).all()) and int(fs.flat[0]) >= 0
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("t", "quant"))
 def _build_decode_cache(kv, t: int, quant: str):
     """Decode-cache build as ONE jitted program (module-level so the jit
@@ -433,31 +447,36 @@ class GlimpsePruneRunner:
         self.dtype = dtype
 
         self._vision = jax.jit(
-            lambda p, *a: self.model.apply(p, *a, method=self.model.vision_encode)
+            lambda p, *a, dense_attn=False: self.model.apply(
+                p, *a, dense_attn=dense_attn, method=self.model.vision_encode
+            ),
+            static_argnames=("dense_attn",),
         )
         self._prefill = jax.jit(
             functools.partial(self._prefill_impl),
-            static_argnames=("out_len", "use_ref_masks"),
+            static_argnames=("out_len", "use_ref_masks", "dense_attn"),
         )
         self._vanilla = jax.jit(
             lambda p, *a: self.model.apply(p, *a, method=self.model.vanilla_prefill)
         )
         self._decode = jax.jit(self._decode_impl, donate_argnums=(3, 4) if donate_cache else ())
         self._staged = jax.jit(
-            self._staged_impl, static_argnames=("stages", "out_lens")
+            self._staged_impl, static_argnames=("stages", "out_lens", "dense_attn")
         )
         self._pre_llm_compress = jax.jit(
             self._pre_llm_compress_impl,
-            static_argnames=("method", "k", "out_len", "dominant_ratio", "contextual_ratio"),
+            static_argnames=("method", "k", "out_len", "dominant_ratio",
+                             "contextual_ratio", "dense_attn"),
         )
 
     # ---- jitted bodies -------------------------------------------------
 
     def _prefill_impl(self, params, inputs: Dict[str, Any], out_len: int,
-                      use_ref_masks: bool):
+                      use_ref_masks: bool, dense_attn: bool = False):
         merged, taps = self.model.apply(
             params,
             inputs["patches"], inputs["vis_pos_ids"], inputs["full_seg"], inputs["vis_valid"],
+            False, dense_attn,
             method=self.model.vision_encode,
         )
         taps = (
@@ -491,10 +510,11 @@ class GlimpsePruneRunner:
 
         return self.model.apply(params, method=run)
 
-    def _staged_impl(self, params, inputs, stages, out_lens):
+    def _staged_impl(self, params, inputs, stages, out_lens,
+                     dense_attn: bool = False):
         merged, _ = self.model.apply(
             params, inputs["patches"], inputs["vis_pos_ids"],
-            inputs["full_seg"], inputs["vis_valid"],
+            inputs["full_seg"], inputs["vis_valid"], False, dense_attn,
             method=self.model.vision_encode,
         )
 
@@ -508,7 +528,8 @@ class GlimpsePruneRunner:
         return self.model.apply(params, method=run)
 
     def _pre_llm_compress_impl(self, params, inputs, method, k, out_len,
-                               dominant_ratio, contextual_ratio):
+                               dominant_ratio, contextual_ratio,
+                               dense_attn: bool = False):
         from glimpseprune_tpu.compressors import (
             cdpruner_select,
             divprune_select,
@@ -540,7 +561,7 @@ class GlimpsePruneRunner:
         emit_imp = method in ("visionzip", "vscan")
         vis_out = self.model.apply(
             params, inputs["patches"], inputs["vis_pos_ids"],
-            inputs["full_seg"], inputs["vis_valid"], emit_imp,
+            inputs["full_seg"], inputs["vis_valid"], emit_imp, dense_attn,
             method=self.model.vision_encode,
         )
         if emit_imp:
@@ -807,7 +828,7 @@ class GlimpsePruneRunner:
         inputs = self._device_inputs(prep, use_ref_masks)
         return self._prefill(
             {"params": self.params}, inputs, out_len=prep.out_len,
-            use_ref_masks=use_ref_masks,
+            use_ref_masks=use_ref_masks, dense_attn=_vis_dense_hint(prep),
         )
 
     @time_logger
@@ -845,6 +866,7 @@ class GlimpsePruneRunner:
                 {"params": self.params},
                 self._device_inputs(prep, use_ref_masks),
                 out_len=prep.out_len, use_ref_masks=use_ref_masks,
+                dense_attn=_vis_dense_hint(prep),
             )
             logits, r_valid, r_pos = out.logits, out.valid, out.position_ids
             kv_k, kv_v = out.kv_k, out.kv_v
@@ -868,6 +890,7 @@ class GlimpsePruneRunner:
                     {"params": self.params},
                     inputs["patches"], inputs["vis_pos_ids"],
                     inputs["full_seg"], inputs["vis_valid"],
+                    dense_attn=_vis_dense_hint(prep),
                 )[0],
                 inputs["packed_idx"], inputs["img_slots"], inputs["img_valid"],
             )
@@ -1059,6 +1082,7 @@ class GlimpsePruneRunner:
             {"params": self.params},
             self._device_inputs(prep, use_ref_masks),
             out_len=prep.out_len, use_ref_masks=use_ref_masks,
+            dense_attn=_vis_dense_hint(prep),
         )
         keep_img = np.asarray(out.keep_img)
         mask_logits = np.asarray(out.mask_logits)
@@ -1135,7 +1159,8 @@ class GlimpsePruneRunner:
                 )
             )
             logits, r_ids, r_valid, r_pos, kv_k, kv_v, is_img = self._staged(
-                {"params": self.params}, inputs, valid_stages, out_lens
+                {"params": self.params}, inputs, valid_stages, out_lens,
+                dense_attn=_vis_dense_hint(prep),
             )
             kept = jnp.asarray(is_img.sum(-1))
             keep_img = None
@@ -1156,6 +1181,7 @@ class GlimpsePruneRunner:
             logits, r_ids, r_valid, r_pos, kv_k, kv_v, keep_img = self._pre_llm_compress(
                 {"params": self.params}, inputs, method, keep_budget, out_len,
                 dominant_ratio, contextual_ratio,
+                dense_attn=_vis_dense_hint(prep),
             )
             kept = jnp.asarray(keep_img.sum(-1))
 

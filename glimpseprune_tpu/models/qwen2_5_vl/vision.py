@@ -74,8 +74,9 @@ def _block_qkv(cfg: VisionConfig, pb, x, cos, sin, dtype):
 
 
 def _block_fwd(cfg: VisionConfig, pb, x, cos, sin, segment_ids, valid, wp: int,
-               dtype, emit_importance: bool = False):
-    """One ViT block; wp > 0 selects the dense window path."""
+               dtype, emit_importance: bool = False, dense_attn: bool = False):
+    """One ViT block; wp > 0 selects the dense window path. dense_attn is the
+    static single-unpadded-image promise forwarded to segment_attention."""
     p = x.shape[0]
     h = _rms(x, pb["norm1"]["weight"])
     if wp > 0 and not emit_importance:
@@ -88,7 +89,7 @@ def _block_fwd(cfg: VisionConfig, pb, x, cos, sin, segment_ids, valid, wp: int,
         if wp > 0:
             attn = batched_window_attention(q, k, v, valid, wp)
         else:
-            attn = segment_attention(q, k, v, segment_ids)
+            attn = segment_attention(q, k, v, segment_ids, dense=dense_attn)
     x = x + _dense(attn.reshape(p, cfg.hidden_size), pb["attn"]["proj"], dtype)
 
     importance = None
@@ -181,7 +182,8 @@ class VisionTransformer(nn.Module):
         self.merger_fc2 = nn.Dense(c.out_hidden_size, use_bias=True, dtype=self.dtype,
                                    param_dtype=self.param_dtype)
 
-    def __call__(self, patches, pos_ids, full_seg, valid, emit_importance: bool = False):
+    def __call__(self, patches, pos_ids, full_seg, valid,
+                 emit_importance: bool = False, dense_attn: bool = False):
         c = self.cfg
         mu = c.spatial_merge_unit
         win = c.window_size // c.spatial_merge_size // c.patch_size
@@ -230,7 +232,7 @@ class VisionTransformer(nn.Module):
             want_imp = emit_importance and (bidx == c.depth - 1 or bidx == first_fullatt)
             out = _block_fwd(c, pb, x, cos, sin, full_seg, valid,
                              0 if is_full else wp, self.dtype,
-                             emit_importance=want_imp)
+                             emit_importance=want_imp, dense_attn=dense_attn)
             if want_imp:
                 x, (received, keys_mean) = out
                 pooled = received.reshape(-1, mu).mean(axis=1)

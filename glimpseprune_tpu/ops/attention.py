@@ -65,8 +65,13 @@ def segment_attention(
     k: jnp.ndarray,  # [S, H, D]
     v: jnp.ndarray,  # [S, H, D]
     segment_ids: jnp.ndarray,  # [S] int; attend iff equal; <0 = padding
+    dense: bool = False,
 ) -> jnp.ndarray:
-    """Bidirectional block-diagonal attention for the packed ViT sequence."""
+    """Bidirectional block-diagonal attention for the packed ViT sequence.
+
+    dense=True is a STATIC host-side promise that the whole sequence is one
+    valid segment (single unpadded image): the flash kernel then compiles
+    with no segment masking at all (+~9% at the 64k-patch bench shape)."""
     if _use_flash(q.shape[0]):
         from glimpseprune_tpu.ops.pallas.flash_attention import flash_attention
 
@@ -74,7 +79,7 @@ def segment_attention(
         out = flash_attention(
             q.transpose(1, 0, 2)[None], k.transpose(1, 0, 2)[None],
             v.transpose(1, 0, 2)[None], seg, seg, causal=False,
-            interpret=ATTENTION_IMPL == "flash_interpret",
+            interpret=ATTENTION_IMPL == "flash_interpret", dense=dense,
         )
         return out[0].transpose(1, 0, 2)
     allowed = (segment_ids[:, None] == segment_ids[None, :]) & (segment_ids >= 0)[:, None]

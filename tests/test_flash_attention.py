@@ -236,3 +236,54 @@ def test_fuser_cond_attention_flash_matches_dense():
     np.testing.assert_allclose(
         np.asarray(got)[vm], np.asarray(ref)[vm], rtol=2e-4, atol=2e-4
     )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_tile_skip_multi_segment(causal):
+    """Small blocks force a multi-tile grid where whole tiles have no
+    overlapping segments (and all-padding tiles): the per-tile skip must be
+    numerically invisible."""
+    rng = np.random.default_rng(1)
+    b, h, s, d = 2, 2, 512, 64
+    q = jnp.array(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    k = jnp.array(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    v = jnp.array(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    seg = np.zeros((b, s), dtype=np.int32)
+    seg[:, 200:380] = 1          # segment boundaries off tile boundaries
+    seg[:, 380:] = 2
+    seg[:, -64:] = -1            # a full tile of padding
+    seg = jnp.array(seg)
+
+    out = flash_attention(q, k, v, seg, seg, causal=causal,
+                          block_q=64, block_k=64, interpret=True)
+    ref = reference_attention(q, k, v, seg, seg, causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_dense_matches_masked(causal):
+    """dense=True (static single-segment promise, no seg refs compiled) must
+    equal the seg path on an all-one-segment input."""
+    rng = np.random.default_rng(2)
+    b, h, s, d = 1, 2, 256, 80
+    q = jnp.array(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    k = jnp.array(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    v = jnp.array(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    seg = jnp.zeros((b, s), jnp.int32)
+
+    ref = flash_attention(q, k, v, seg, seg, causal=causal,
+                          block_q=128, block_k=128, interpret=True)
+    out = flash_attention(q, k, v, None, None, causal=causal,
+                          block_q=128, block_k=128, interpret=True, dense=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-6, atol=2e-6)
+
+    # unaligned seq: the dense promise must silently fall back to the seg
+    # path (block padding would otherwise be unmasked)
+    s2 = 130
+    q2, k2, v2 = q[:, :, :s2], k[:, :, :s2], v[:, :, :s2]
+    seg2 = jnp.zeros((b, s2), jnp.int32)
+    ref2 = flash_attention(q2, k2, v2, seg2, seg2, causal=causal,
+                           block_q=128, block_k=128, interpret=True)
+    out2 = flash_attention(q2, k2, v2, None, None, causal=causal,
+                           block_q=128, block_k=128, interpret=True, dense=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=2e-6, atol=2e-6)
