@@ -43,6 +43,10 @@ class VisionConfig:
     # "none" | "int8": weight-only quantization of the block stack
     # (quantization.py; reference builder.py load_8bit analogue)
     weight_quant: str = "none"
+    # "none" | "int8": dynamic per-row activation quantization on the int8
+    # kernels -> the v5e native int8 MXU mode (quantization.matmul_w8a8,
+    # 1.43x matmul throughput measured). Requires weight_quant == "int8".
+    act_quant: str = "none"
 
     def __post_init__(self):
         object.__setattr__(self, "fullatt_block_indexes", _tupled(self.fullatt_block_indexes))
@@ -77,6 +81,8 @@ class TextConfig:
     attention_bias: bool = True
     # "none" | "int8": weight-only quantization of the layer stack
     weight_quant: str = "none"
+    # "none" | "int8": dynamic W8A8 serving tier (see VisionConfig.act_quant)
+    act_quant: str = "none"
     # decode KV cache dtype tier: "none" = model dtype (bf16), "int8" =
     # per-(token, head) symmetric int8 + f32 amax/127 scales (the cache
     # becomes the pytree {"q": int8 [L,B,T,Hkv,D], "s": f32 [L,B,T,Hkv]}).

@@ -39,7 +39,18 @@ def _rms(x, weight, eps):
     return (weight.astype(jnp.float32) * xf).astype(x.dtype)
 
 
-def _dense(x, p, dtype):
+def _dense(x, p, dtype, a8: bool = False):
+    if "kernel_q" in p and a8 and "lora_a" not in p:
+        # dynamic W8A8 (quantization.matmul_w8a8): per-row activation int8 +
+        # the v5e native int8 MXU mode (1.43x measured vs bf16 at the ViT
+        # MLP shape). LoRA-bearing layers stay on the dequant path so the
+        # low-rank update sees unquantized activations.
+        from glimpseprune_tpu.quantization import matmul_w8a8
+
+        y = matmul_w8a8(x, p["kernel_q"], p["kernel_scale"], dtype)
+        if "bias" in p:
+            y = y + p["bias"].astype(dtype)
+        return y
     if "kernel_q" in p:
         # weight-only int8 (quantization.py): dequant fuses into the matmul;
         # only this layer's bf16 kernel materializes inside the scan
@@ -64,17 +75,19 @@ def _dense(x, p, dtype):
 def _qkv(cfg: TextConfig, pl, x, cos, sin, dtype):
     b, s, _ = x.shape
     a = pl["self_attn"]
-    q = _dense(x, a["q_proj"], dtype).reshape(b, s, cfg.num_attention_heads, cfg.head_dim)
-    k = _dense(x, a["k_proj"], dtype).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
-    v = _dense(x, a["v_proj"], dtype).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
+    a8 = cfg.act_quant == "int8"
+    q = _dense(x, a["q_proj"], dtype, a8).reshape(b, s, cfg.num_attention_heads, cfg.head_dim)
+    k = _dense(x, a["k_proj"], dtype, a8).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
+    v = _dense(x, a["v_proj"], dtype, a8).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
     return apply_rotary(q, cos, sin), apply_rotary(k, cos, sin), v
 
 
 def _mlp(cfg: TextConfig, pl, x, dtype):
     m = pl["mlp"]
+    a8 = cfg.act_quant == "int8"
     return _dense(
-        nn.silu(_dense(x, m["gate_proj"], dtype)) * _dense(x, m["up_proj"], dtype),
-        m["down_proj"], dtype,
+        nn.silu(_dense(x, m["gate_proj"], dtype, a8)) * _dense(x, m["up_proj"], dtype, a8),
+        m["down_proj"], dtype, a8,
     )
 
 
@@ -91,7 +104,8 @@ def _layer_prefill(cfg: TextConfig, pl, x, cos, sin, valid, q_index, dtype):
     q, k, v = _qkv(cfg, pl, h, cos, sin, dtype)
     attn = causal_segment_attention(q, k, v, valid)
     b, s = x.shape[:2]
-    x = x + _dense(attn.reshape(b, s, -1), pl["self_attn"]["o_proj"], dtype)
+    x = x + _dense(attn.reshape(b, s, -1), pl["self_attn"]["o_proj"], dtype,
+                   cfg.act_quant == "int8")
     x = x + _mlp(cfg, pl, _rms(x, pl["post_attention_layernorm"]["weight"], cfg.rms_norm_eps), dtype)
     sel_q = jnp.take_along_axis(q, q_index[:, None, None, None], axis=1)[:, 0]
     return x, k, v, sel_q, q
@@ -125,7 +139,8 @@ def _layer_decode(cfg: TextConfig, pl, l, x, cos, sin, k_cache, v_cache,
     k_cache = cache_append(k_cache, k, l, write_idx)
     v_cache = cache_append(v_cache, v, l, write_idx)
     b, s = x.shape[:2]
-    x = x + _dense(attn.reshape(b, s, -1), pl["self_attn"]["o_proj"], dtype)
+    x = x + _dense(attn.reshape(b, s, -1), pl["self_attn"]["o_proj"], dtype,
+                   cfg.act_quant == "int8")
     x = x + _mlp(cfg, pl, _rms(x, pl["post_attention_layernorm"]["weight"], cfg.rms_norm_eps), dtype)
     return x, k_cache, v_cache
 
@@ -245,7 +260,8 @@ class TextDecoder(nn.Module):
     def logits(self, x):
         if self.cfg.tie_word_embeddings:
             return self.embed_tokens.attend(x)
-        return _dense(x, self.lm_head_params, self.dtype)
+        return _dense(x, self.lm_head_params, self.dtype,
+                      self.cfg.act_quant == "int8")
 
     def run_layers(
         self,

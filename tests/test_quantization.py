@@ -208,6 +208,56 @@ def test_int4_pipeline_close_to_fp():
     assert cos > 0.9, cos
 
 
+def test_w8a8_matmul_close_to_dequant():
+    """Dynamic W8A8 (matmul_w8a8): int8 x int8 -> int32 with a rank-1
+    rescale must track the weight-only dequant matmul within the activation
+    quantization step (per-row amax/127 x sum over K of |w|-scale)."""
+    from glimpseprune_tpu.quantization import matmul_w8a8, quantize_int8
+
+    rng = np.random.default_rng(5)
+    K, N = 64, 48
+    x = jnp.asarray(rng.standard_normal((4, 10, K)), jnp.float32)
+    w = {"kernel": jnp.asarray(rng.standard_normal((K, N)), jnp.float32)}
+    qw = quantize_int8({"text": {"layers": {"mlp": {"gate_proj": w}}}})
+    leaf = qw["text"]["layers"]["mlp"]["gate_proj"]
+
+    w_deq = leaf["kernel_q"].astype(jnp.float32) * leaf["kernel_scale"]
+    ref = np.asarray(x @ w_deq, np.float64)
+    got = np.asarray(
+        matmul_w8a8(x, leaf["kernel_q"], leaf["kernel_scale"], jnp.float32),
+        np.float64,
+    )
+    # error bound: per-row activation step (amax/127) * K * mean |w|
+    amax = np.abs(np.asarray(x, np.float64)).max(axis=-1, keepdims=True)
+    bound = (amax / 127.0) * np.abs(np.asarray(w_deq, np.float64)).sum(axis=0) * 0.51
+    assert (np.abs(got - ref) <= bound + 1e-5).all()
+
+
+def test_w8a8_pipeline_close_to_fp():
+    """act_quant="int8" runs the full GP pipeline (both towers + head on the
+    W8A8 path) close to fp — the serving tier for the v5e int8 MXU mode."""
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(11)
+    prep, _ = build_batch(cfg, rng, with_labels=False)
+    _, params = init_params(cfg, prep)
+
+    out_fp = GlimpsePruneRunner(cfg, params).glimpse(prep)
+    a8cfg = quantized_config(cfg, "int8", act_quant="int8")
+    assert a8cfg.text.act_quant == "int8" and a8cfg.vision.act_quant == "int8"
+    out_a8 = GlimpsePruneRunner(a8cfg, quantize_int8(params)).glimpse(prep)
+
+    a = np.asarray(out_fp.logits, np.float64).reshape(-1)
+    b = np.asarray(out_a8.logits, np.float64).reshape(-1)
+    cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.98, cos
+
+    # generate also runs on the a8 path (decode layers + head)
+    gen = GlimpsePruneRunner(a8cfg, quantize_int8(params)).generate(
+        prep, max_new_tokens=4
+    )
+    assert np.asarray(gen.sequences).shape[1] == 4
+
+
 def test_int8_kv_cache_attention_exact_and_pipeline():
     """int8 KV-cache tier (ops/kv_cache.py): the per-token-head scale
     factors out of both decode matmuls, so quantized-cache attention must
