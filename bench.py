@@ -26,7 +26,7 @@ values. Runs that need a LEARNABLE base (tools/convergence_run.py --quant)
 init real weights on the host and quantize them instead.
 
 Env knobs: BENCH_SCALE=7b|3b|1b, BENCH_QUANT=int8|int4|'',
-BENCH_ACT_QUANT=int8|none (dynamic W8A8 on the int8 kernels — the v5e
+BENCH_ACT_QUANT=int8|prefill|none (dynamic W8A8 on the int8 kernels — the v5e
 native int8 MXU serving tier, applied to BOTH sides),
 BENCH_KV_QUANT=int8|none, BENCH_MAX_PIXELS=N (0 -> ~1M px / 1.3k tokens),
 BENCH_DECODE=N steps, BENCH_BATCH, BENCH_USE_REF, BENCH_REDUCE_LAYER,
@@ -390,7 +390,7 @@ def run(scale: str):
         **decode_detail,
     }
     suffix = (f"_{scale}" + (f"_{quant}" if quant else "")
-              + ("_w8a8" if getattr(cfg.text, "act_quant", "none") == "int8" else ""))
+              + ("_w8a8" if getattr(cfg.text, "act_quant", "none") != "none" else ""))
     if decode_detail:
         # headline = end-to-end generate (reference do_generate wall-clock)
         n_dec = decode_detail["n_decode"]
@@ -590,7 +590,7 @@ def run_serving(scale: str):
     thr_p = n_p / t_p
     thr_u = n_u / t_u
     suffix = (f"_{scale}" + (f"_{quant}" if quant else "")
-              + ("_w8a8" if getattr(cfg.text, "act_quant", "none") == "int8" else ""))
+              + ("_w8a8" if getattr(cfg.text, "act_quant", "none") != "none" else ""))
     return {
         "metric": f"gp_serving_generated_tokens_per_sec_chip{suffix}",
         "value": round(thr_p, 1),
@@ -695,7 +695,7 @@ def run_serving_continuous(scale: str):
 
     thr_p, thr_u = n_p / wall_p, n_u / wall_u
     suffix = (f"_{scale}" + (f"_{quant}" if quant else "")
-              + ("_w8a8" if getattr(cfg.text, "act_quant", "none") == "int8" else ""))
+              + ("_w8a8" if getattr(cfg.text, "act_quant", "none") != "none" else ""))
 
     def stats(xs):
         return {"mean_s": round(float(np.mean(xs)), 2),
@@ -737,6 +737,12 @@ def main():
     scale = os.environ.get("BENCH_SCALE", "7b")
     if scale == "7b" and not os.environ.get("BENCH_QUANT"):
         os.environ["BENCH_QUANT"] = "int8"
+    if (os.environ.get("BENCH_QUANT") == "int8"
+            and "BENCH_ACT_QUANT" not in os.environ):
+        # serving default: W8A8 on the compute-bound prefill paths (14%
+        # faster pruned prefill measured at 16k tokens), decode stays
+        # weight-only (HBM-bound; full-W8A8 decode measured pathological)
+        os.environ["BENCH_ACT_QUANT"] = "prefill"
     mode = os.environ.get("BENCH_MODE", "serving")
     if mode == "continuous":
         print(json.dumps(run_serving_continuous(scale)))

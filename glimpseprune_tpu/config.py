@@ -43,9 +43,11 @@ class VisionConfig:
     # "none" | "int8": weight-only quantization of the block stack
     # (quantization.py; reference builder.py load_8bit analogue)
     weight_quant: str = "none"
-    # "none" | "int8": dynamic per-row activation quantization on the int8
-    # kernels -> the v5e native int8 MXU mode (quantization.matmul_w8a8,
-    # 1.43x matmul throughput measured). Requires weight_quant == "int8".
+    # "none" | "int8" | "prefill": dynamic per-row activation quantization on
+    # the int8 kernels -> the v5e native int8 MXU mode
+    # (quantization.matmul_w8a8, 1.43x matmul throughput measured). Both
+    # non-none values behave identically here (the ViT is prefill-only
+    # compute). Requires weight_quant == "int8".
     act_quant: str = "none"
 
     def __post_init__(self):
@@ -81,7 +83,10 @@ class TextConfig:
     attention_bias: bool = True
     # "none" | "int8": weight-only quantization of the layer stack
     weight_quant: str = "none"
-    # "none" | "int8": dynamic W8A8 serving tier (see VisionConfig.act_quant)
+    # "none" | "int8" | "prefill": dynamic W8A8 tier (see
+    # VisionConfig.act_quant). "prefill" = W8A8 in prefill layers only,
+    # decode stays weight-only (decode is HBM-bound; the int8 MXU mode buys
+    # nothing there) — the serving default.
     act_quant: str = "none"
     # decode KV cache dtype tier: "none" = model dtype (bf16), "int8" =
     # per-(token, head) symmetric int8 + f32 amax/127 scales (the cache

@@ -72,19 +72,28 @@ def _dense(x, p, dtype, a8: bool = False):
     return y
 
 
-def _qkv(cfg: TextConfig, pl, x, cos, sin, dtype):
+def _act_quant_on(cfg: TextConfig, decoding: bool) -> bool:
+    """W8A8 applies where matmuls are compute-bound. "int8" = everywhere;
+    "prefill" = prefill only — decode at small batch is HBM-bandwidth-bound
+    (weight reads dominate; the int8 MXU mode buys nothing and the per-step
+    activation-quant chain inside the flat decode scan only adds latency),
+    so the serving tier keeps decode on the weight-only dequant path."""
+    if cfg.act_quant == "int8":
+        return True
+    return cfg.act_quant == "prefill" and not decoding
+
+
+def _qkv(cfg: TextConfig, pl, x, cos, sin, dtype, a8: bool = False):
     b, s, _ = x.shape
     a = pl["self_attn"]
-    a8 = cfg.act_quant == "int8"
     q = _dense(x, a["q_proj"], dtype, a8).reshape(b, s, cfg.num_attention_heads, cfg.head_dim)
     k = _dense(x, a["k_proj"], dtype, a8).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
     v = _dense(x, a["v_proj"], dtype, a8).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
     return apply_rotary(q, cos, sin), apply_rotary(k, cos, sin), v
 
 
-def _mlp(cfg: TextConfig, pl, x, dtype):
+def _mlp(cfg: TextConfig, pl, x, dtype, a8: bool = False):
     m = pl["mlp"]
-    a8 = cfg.act_quant == "int8"
     return _dense(
         nn.silu(_dense(x, m["gate_proj"], dtype, a8)) * _dense(x, m["up_proj"], dtype, a8),
         m["down_proj"], dtype, a8,
@@ -100,13 +109,13 @@ def _layer_prefill(cfg: TextConfig, pl, x, cos, sin, valid, q_index, dtype):
     harvest matmuls). The full post-rope q [B, S, Hq, D] is also returned
     for the multi-query visualization harvest (emitted from the scan only
     when requested)."""
+    a8 = _act_quant_on(cfg, decoding=False)
     h = _rms(x, pl["input_layernorm"]["weight"], cfg.rms_norm_eps)
-    q, k, v = _qkv(cfg, pl, h, cos, sin, dtype)
+    q, k, v = _qkv(cfg, pl, h, cos, sin, dtype, a8)
     attn = causal_segment_attention(q, k, v, valid)
     b, s = x.shape[:2]
-    x = x + _dense(attn.reshape(b, s, -1), pl["self_attn"]["o_proj"], dtype,
-                   cfg.act_quant == "int8")
-    x = x + _mlp(cfg, pl, _rms(x, pl["post_attention_layernorm"]["weight"], cfg.rms_norm_eps), dtype)
+    x = x + _dense(attn.reshape(b, s, -1), pl["self_attn"]["o_proj"], dtype, a8)
+    x = x + _mlp(cfg, pl, _rms(x, pl["post_attention_layernorm"]["weight"], cfg.rms_norm_eps), dtype, a8)
     sel_q = jnp.take_along_axis(q, q_index[:, None, None, None], axis=1)[:, 0]
     return x, k, v, sel_q, q
 
@@ -130,8 +139,9 @@ def _layer_decode(cfg: TextConfig, pl, l, x, cos, sin, k_cache, v_cache,
     read-then-write aliases clean."""
     from glimpseprune_tpu.ops.kv_cache import cache_append, cache_layer
 
+    a8 = _act_quant_on(cfg, decoding=True)
     h = _rms(x, pl["input_layernorm"]["weight"], cfg.rms_norm_eps)
-    q, k, v = _qkv(cfg, pl, h, cos, sin, dtype)
+    q, k, v = _qkv(cfg, pl, h, cos, sin, dtype, a8)
     kl = cache_layer(k_cache, l)
     vl = cache_layer(v_cache, l)
     attn = decode_attention(q, kl, vl, kv_valid, k_new=k, v_new=v,
@@ -139,9 +149,8 @@ def _layer_decode(cfg: TextConfig, pl, l, x, cos, sin, k_cache, v_cache,
     k_cache = cache_append(k_cache, k, l, write_idx)
     v_cache = cache_append(v_cache, v, l, write_idx)
     b, s = x.shape[:2]
-    x = x + _dense(attn.reshape(b, s, -1), pl["self_attn"]["o_proj"], dtype,
-                   cfg.act_quant == "int8")
-    x = x + _mlp(cfg, pl, _rms(x, pl["post_attention_layernorm"]["weight"], cfg.rms_norm_eps), dtype)
+    x = x + _dense(attn.reshape(b, s, -1), pl["self_attn"]["o_proj"], dtype, a8)
+    x = x + _mlp(cfg, pl, _rms(x, pl["post_attention_layernorm"]["weight"], cfg.rms_norm_eps), dtype, a8)
     return x, k_cache, v_cache
 
 

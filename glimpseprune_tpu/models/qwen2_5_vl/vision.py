@@ -74,7 +74,7 @@ def _dense(x, p, dtype, a8: bool = False):
 
 def _block_qkv(cfg: VisionConfig, pb, x, cos, sin, dtype):
     p = x.shape[0]
-    qkv = _dense(x, pb["attn"]["qkv"], dtype, cfg.act_quant == "int8")
+    qkv = _dense(x, pb["attn"]["qkv"], dtype, cfg.act_quant in ("int8", "prefill"))
     q, k, v = jnp.split(qkv.reshape(p, 3, cfg.num_heads, cfg.head_dim), 3, axis=1)
     q, k, v = q[:, 0], k[:, 0], v[:, 0]
     q = apply_rotary(q[None], cos[None], sin[None])[0]
@@ -87,7 +87,8 @@ def _block_fwd(cfg: VisionConfig, pb, x, cos, sin, segment_ids, valid, wp: int,
     """One ViT block; wp > 0 selects the dense window path. dense_attn is the
     static single-unpadded-image promise forwarded to segment_attention."""
     p = x.shape[0]
-    a8 = cfg.act_quant == "int8"
+    # the ViT is prefill-only compute: both tiers enable W8A8 here
+    a8 = cfg.act_quant in ("int8", "prefill")
     h = _rms(x, pb["norm1"]["weight"])
     if wp > 0 and not emit_importance:
         # fused rope+attention over the qkv output's natural layout

@@ -274,11 +274,16 @@ def quantized_config(cfg, mode: str = "int8", act_quant: str = "none"):
     """ModelConfig -> same config with int8/int4 weight declarations in both
     towers (pair with quantize_int8/int4(params) when building a runner).
     act_quant="int8" additionally turns on the dynamic W8A8 matmul tier
-    (matmul_w8a8; int8 weights only)."""
+    everywhere (matmul_w8a8; int8 weights only); "prefill" applies it to the
+    compute-bound paths only (vision + prefill layers), leaving the
+    HBM-bound decode scan on the weight-only dequant path — the serving
+    default."""
     import dataclasses
 
-    if act_quant == "int8":
+    if act_quant in ("int8", "prefill"):
         assert mode == "int8", "act_quant requires int8 weights"
+    elif act_quant != "none":
+        raise ValueError(f"act_quant must be none/int8/prefill, got {act_quant!r}")
     return dataclasses.replace(
         cfg,
         text=dataclasses.replace(cfg.text, weight_quant=mode, act_quant=act_quant),

@@ -257,6 +257,16 @@ def test_w8a8_pipeline_close_to_fp():
     )
     assert np.asarray(gen.sequences).shape[1] == 4
 
+    # serving tier: act_quant="prefill" keeps decode on the weight-only
+    # path; the full pipeline still tracks fp and generates
+    pcfg = quantized_config(cfg, "int8", act_quant="prefill")
+    pr = GlimpsePruneRunner(pcfg, quantize_int8(params))
+    out_p = pr.glimpse(prep)
+    bp = np.asarray(out_p.logits, np.float64).reshape(-1)
+    cosp = (a @ bp) / (np.linalg.norm(a) * np.linalg.norm(bp) + 1e-12)
+    assert cosp > 0.98, cosp
+    assert np.asarray(pr.generate(prep, max_new_tokens=4).sequences).shape[1] == 4
+
 
 def test_int8_kv_cache_attention_exact_and_pipeline():
     """int8 KV-cache tier (ops/kv_cache.py): the per-token-head scale
