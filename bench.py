@@ -304,6 +304,18 @@ def run(scale: str):
     t_unpruned = timeit(lambda i: unpruned_fn({"params": params}, dev_inputs,
                                               vanilla_static, i))
 
+    @jax.jit
+    def vision_fn(params, inputs, i):
+        # the ViT share of every prefill (identical on both sides)
+        merged, _ = runner.model.apply(
+            params, inputs["patches"] + i * 1e-6, inputs["vis_pos_ids"],
+            inputs["full_seg"], inputs["vis_valid"],
+            method=runner.model.vision_encode,
+        )
+        return merged.astype(jnp.float32)[0, :8].sum()
+
+    t_vision = timeit(lambda i: vision_fn({"params": params}, dev_inputs, i))
+
     decode_detail = {}
     if int(os.environ.get("BENCH_DECODE", "128")):
         # decode n_dec tokens over the compacted vs FULL KV cache (one
@@ -377,6 +389,7 @@ def run(scale: str):
     detail = {
         "prefill_pruned_ms": round(t_pruned * 1e3, 2),
         "prefill_unpruned_ms": round(t_unpruned * 1e3, 2),
+        "vision_ms": round(t_vision * 1e3, 2),
         "prefill_ratio": round(t_unpruned / t_pruned, 3),
         "n_prompt_tokens": n_tokens,
         "n_image_tokens": int(prep.n_img_tokens[0]),
@@ -745,8 +758,27 @@ def main():
         os.environ["BENCH_ACT_QUANT"] = "prefill"
     mode = os.environ.get("BENCH_MODE", "serving")
     if mode == "continuous":
-        print(json.dumps(run_serving_continuous(scale)))
-        return
+        # continuous batching holds the full decode cache DURING prefill
+        # (admission interleaving), so its pruned feasibility frontier sits
+        # below the aggregated protocol's B=28 — step down on OOM and
+        # report the achieved capacity
+        rows0 = int(os.environ.get("BENCH_SERVE_ROWS_P", "28"))
+        for rows_p in (rows0, rows0 - 4, rows0 - 8):
+            os.environ["BENCH_SERVE_ROWS_P"] = str(rows_p)
+            try:
+                print(json.dumps(run_serving_continuous(scale)))
+                return
+            except Exception as e:
+                import gc
+                import traceback
+
+                sys.stderr.write(
+                    f"continuous bench failed at B={rows_p} "
+                    f"({type(e).__name__}: {e}); retrying smaller\n")
+                traceback.clear_frames(e.__traceback__)
+                del e
+                gc.collect()
+        raise RuntimeError("continuous bench failed at all batch sizes")
     if mode == "serving":
         try:
             print(json.dumps(run_serving(scale)))
