@@ -760,24 +760,28 @@ def main():
     if mode == "continuous":
         # continuous batching holds the full decode cache DURING prefill
         # (admission interleaving), so its pruned feasibility frontier sits
-        # below the aggregated protocol's B=28 — step down on OOM and
-        # report the achieved capacity
-        rows0 = int(os.environ.get("BENCH_SERVE_ROWS_P", "28"))
-        for rows_p in (rows0, rows0 - 4, rows0 - 8):
-            os.environ["BENCH_SERVE_ROWS_P"] = str(rows_p)
-            try:
-                print(json.dumps(run_serving_continuous(scale)))
-                return
-            except Exception as e:
-                import gc
-                import traceback
+        # below the aggregated protocol's B=28 — step down on OOM. Each
+        # attempt runs in a FRESH subprocess: an in-process retry leaks the
+        # failed attempt's ~9 GB param tree into the next one (measured:
+        # B=8 OOMs after an in-process B=16 failure but passes cold).
+        import subprocess
 
-                sys.stderr.write(
-                    f"continuous bench failed at B={rows_p} "
-                    f"({type(e).__name__}: {e}); retrying smaller\n")
-                traceback.clear_frames(e.__traceback__)
-                del e
-                gc.collect()
+        rows0 = int(os.environ.get("BENCH_SERVE_ROWS_P", "16"))
+        for rows_p in (rows0, max(rows0 // 2, 4), 4):
+            env = dict(os.environ, BENCH_SERVE_ROWS_P=str(rows_p))
+            p = subprocess.run(
+                [sys.executable, "-c",
+                 "import json, bench; "
+                 f"print(json.dumps(bench.run_serving_continuous({scale!r})))"],
+                env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True, text=True)
+            line = (p.stdout.strip().splitlines() or [""])[-1]
+            if p.returncode == 0 and line.startswith("{"):
+                print(line)
+                return
+            sys.stderr.write(
+                f"continuous bench failed at B={rows_p} (rc={p.returncode}); "
+                f"retrying smaller\n{p.stderr[-500:]}\n")
         raise RuntimeError("continuous bench failed at all batch sizes")
     if mode == "serving":
         try:

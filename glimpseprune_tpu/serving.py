@@ -203,7 +203,11 @@ class ContinuousBatcher:
                     completion[req] = ttft[req]
                     live.remove(slot)
                     free.append(slot)
-                continue  # prefer filling slots before burning decode steps
+                # fall through: one decode chunk between admissions — the
+                # interleave that advances early rows while later requests
+                # are still prefilling
+            if not live:
+                continue
             key, sub = jax.random.split(key)
             toks, ntok, done, kc, vc, kvv = self._chunk(
                 params, ntok, lpb, kc, vc, kvv, jnp.int32(gchunk * inter), sub)
