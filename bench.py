@@ -28,6 +28,7 @@ init real weights on the host and quantize them instead.
 Env knobs: BENCH_SCALE=7b|3b|1b, BENCH_QUANT=int8|int4|'',
 BENCH_ACT_QUANT=int8|prefill|none (dynamic W8A8 on the int8 kernels — the v5e
 native int8 MXU serving tier, applied to BOTH sides),
+BENCH_QK_INT8=1 (int8-QK flash attention riding the act_quant tier),
 BENCH_KV_QUANT=int8|none, BENCH_MAX_PIXELS=N (0 -> ~1M px / 1.3k tokens),
 BENCH_DECODE=N steps, BENCH_BATCH, BENCH_USE_REF, BENCH_REDUCE_LAYER,
 BENCH_SERVE_ROWS_P/_U, BENCH_SERVE_CHUNK, BENCH_REAL_WEIGHTS=1 (host-init
@@ -119,7 +120,8 @@ def _quant_from_env(cfg):
         from glimpseprune_tpu.quantization import quantized_config
 
         act = os.environ.get("BENCH_ACT_QUANT", "none") or "none"
-        cfg = quantized_config(cfg, quant, act_quant=act)
+        qk8 = bool(int(os.environ.get("BENCH_QK_INT8", "0")))
+        cfg = quantized_config(cfg, quant, act_quant=act, attn_qk_int8=qk8)
     kv_quant = os.environ.get("BENCH_KV_QUANT", "int8")
     if kv_quant and kv_quant != "none":
         # int8 decode KV cache (ops/kv_cache.py): the serving-capacity tier
@@ -766,7 +768,9 @@ def main():
         # B=8 OOMs after an in-process B=16 failure but passes cold).
         import subprocess
 
-        rows0 = int(os.environ.get("BENCH_SERVE_ROWS_P", "16"))
+        # measured frontier: B=8 serves clean; B=16 OOMs (the resident
+        # cache + prefill temps overlap). Override via BENCH_SERVE_ROWS_P.
+        rows0 = int(os.environ.get("BENCH_SERVE_ROWS_P", "8"))
         for rows_p in (rows0, max(rows0 // 2, 4), 4):
             env = dict(os.environ, BENCH_SERVE_ROWS_P=str(rows_p))
             p = subprocess.run(

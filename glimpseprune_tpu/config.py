@@ -49,6 +49,10 @@ class VisionConfig:
     # non-none values behave identically here (the ViT is prefill-only
     # compute). Requires weight_quant == "int8".
     act_quant: str = "none"
+    # run QK^T inside the flash-attention kernel on the int8 MXU mode with
+    # dynamic per-row q/k quantization (inference-only — the int8 kernel has
+    # no vjp). Only takes effect where act_quant enables the W8A8 tier.
+    attn_qk_int8: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "fullatt_block_indexes", _tupled(self.fullatt_block_indexes))
@@ -88,6 +92,9 @@ class TextConfig:
     # decode stays weight-only (decode is HBM-bound; the int8 MXU mode buys
     # nothing there) — the serving default.
     act_quant: str = "none"
+    # int8-QK flash attention in prefill (see VisionConfig.attn_qk_int8);
+    # inference-only, gated on act_quant being active for the prefill path
+    attn_qk_int8: bool = False
     # decode KV cache dtype tier: "none" = model dtype (bf16), "int8" =
     # per-(token, head) symmetric int8 + f32 amax/127 scales (the cache
     # becomes the pytree {"q": int8 [L,B,T,Hkv,D], "s": f32 [L,B,T,Hkv]}).

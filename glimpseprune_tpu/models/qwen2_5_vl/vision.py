@@ -100,7 +100,9 @@ def _block_fwd(cfg: VisionConfig, pb, x, cos, sin, segment_ids, valid, wp: int,
         if wp > 0:
             attn = batched_window_attention(q, k, v, valid, wp)
         else:
-            attn = segment_attention(q, k, v, segment_ids, dense=dense_attn)
+            attn = segment_attention(q, k, v, segment_ids, dense=dense_attn,
+                                     int8_qk=a8 and cfg.attn_qk_int8
+                                     and not emit_importance)
     x = x + _dense(attn.reshape(p, cfg.hidden_size), pb["attn"]["proj"], dtype, a8)
 
     importance = None

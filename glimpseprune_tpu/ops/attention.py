@@ -66,12 +66,16 @@ def segment_attention(
     v: jnp.ndarray,  # [S, H, D]
     segment_ids: jnp.ndarray,  # [S] int; attend iff equal; <0 = padding
     dense: bool = False,
+    int8_qk: bool = False,
 ) -> jnp.ndarray:
     """Bidirectional block-diagonal attention for the packed ViT sequence.
 
     dense=True is a STATIC host-side promise that the whole sequence is one
     valid segment (single unpadded image): the flash kernel then compiles
-    with no segment masking at all (+~9% at the 64k-patch bench shape)."""
+    with no segment masking at all (+~9% at the 64k-patch bench shape).
+    int8_qk=True (serving tier, inference-only) runs QK^T on the int8 MXU
+    mode at flash sizes; the XLA fallback below the flash threshold stays
+    bf16 (numerically the tier is per-row-quantized q/k only)."""
     if _use_flash(q.shape[0]):
         from glimpseprune_tpu.ops.pallas.flash_attention import flash_attention
 
@@ -80,6 +84,7 @@ def segment_attention(
             q.transpose(1, 0, 2)[None], k.transpose(1, 0, 2)[None],
             v.transpose(1, 0, 2)[None], seg, seg, causal=False,
             interpret=ATTENTION_IMPL == "flash_interpret", dense=dense,
+            qkv_int8=int8_qk,
         )
         return out[0].transpose(1, 0, 2)
     allowed = (segment_ids[:, None] == segment_ids[None, :]) & (segment_ids >= 0)[:, None]
@@ -170,8 +175,10 @@ def causal_segment_attention(
     k: jnp.ndarray,  # [B, S, Hkv, D]
     v: jnp.ndarray,  # [B, S, Hkv, D]
     valid: jnp.ndarray,  # [B, S] bool (padding mask)
+    int8_qk: bool = False,
 ) -> jnp.ndarray:
-    """Causal GQA self-attention over a (possibly left-padded) batch."""
+    """Causal GQA self-attention over a (possibly left-padded) batch.
+    int8_qk: see segment_attention (serving tier, inference-only)."""
     b, s, hq, d = q.shape
     if _use_flash(s):
         from glimpseprune_tpu.ops.pallas.flash_attention import flash_attention
@@ -181,6 +188,7 @@ def causal_segment_attention(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3), seg, seg, causal=True,
             interpret=ATTENTION_IMPL == "flash_interpret",
+            qkv_int8=int8_qk,
         )
         return out.transpose(0, 2, 1, 3)
     causal = jnp.tril(jnp.ones((s, s), dtype=bool))

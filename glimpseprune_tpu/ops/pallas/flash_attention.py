@@ -32,7 +32,7 @@ _LOG2E = math.log2(math.e)
 def _kernel(
     qseg_ref,  # [1, bq] int32 (blocked from [B, 1, Sq]); absent when dense
     kseg_ref,  # [1, bk] int32; absent when dense
-    q_ref,     # [bq, D]
+    q_ref,     # [bq, D] (bf16, or int8 under qkv_int8)
     k_ref,     # [bk, D]
     v_ref,     # [bk, D]
     o_ref,     # [bq, D]
@@ -45,6 +45,8 @@ def _kernel(
     bq: int,
     bk: int,
     dense: bool,
+    qsc_ref=None,  # [1, bq] f32 per-row q scales (int8 path only)
+    ksc_ref=None,  # [1, bk] f32 per-row k scales
 ):
     iq = pl.program_id(2)
     j = pl.program_id(3)
@@ -86,10 +88,20 @@ def _kernel(
 
     @pl.when(run)
     def _step():
-        s = jax.lax.dot_general(
-            q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale2  # [bq, bk] f32, log2-domain
+        if qsc_ref is not None:
+            # int8 QK^T (serving tier): the v5e int8 MXU mode runs the dot
+            # at 2x bf16 peak; the per-row symmetric scales re-enter as a
+            # rank-1 f32 rescale (exact for the quantized operands)
+            s = jax.lax.dot_general(
+                q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            s = s * (qsc_ref[:, :].reshape(bq, 1) * scale2) * ksc_ref[:, :]
+        else:
+            s = jax.lax.dot_general(
+                q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale2  # [bq, bk] f32, log2-domain
         if not dense:
             qseg_col = qseg_ref[:, :].reshape(bq, 1)
             kseg_row = kseg_ref[:, :]  # [1, bk]
@@ -121,6 +133,36 @@ def _kernel(
         # rows that never saw an allowed key keep m at the floor -> zero out
         out = jnp.where(m_ref[:] > NEG_INF * 0.5, out, 0.0)
         o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _i8_kernel_adapter(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, qsc_ref,
+                       ksc_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                       sm_scale, causal, bq, bk):
+    _kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
+            acc_ref, sm_scale=sm_scale, causal=causal, bq=bq, bk=bk,
+            dense=False, qsc_ref=qsc_ref, ksc_ref=ksc_ref)
+
+
+def _i8_dense_kernel_adapter(q_ref, k_ref, v_ref, qsc_ref, ksc_ref, o_ref,
+                             m_ref, l_ref, acc_ref, *, sm_scale, causal,
+                             bq, bk):
+    _kernel(None, None, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+            sm_scale=sm_scale, causal=causal, bq=bq, bk=bk, dense=True,
+            qsc_ref=qsc_ref, ksc_ref=ksc_ref)
+
+
+def _quant_rows_i8(x):
+    """[B, H, S, D] -> (int8 values, f32 per-(b,h,s) scales).
+
+    Symmetric per-row amax/127 — the scale is constant along the QK^T
+    contraction dim, so it factors out of the dot exactly (rank-1 rescale
+    in the kernel)."""
+    amax = jnp.max(jnp.abs(x), axis=-1).astype(jnp.float32)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    xi = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return xi, scale
 
 
 def _pad_to(x, axis, mult, value=0):
@@ -207,6 +249,7 @@ def flash_attention(
     block_k: int = 1024,
     interpret: bool = False,
     dense: bool = False,
+    qkv_int8: bool = False,
 ):
     """Differentiable wrapper: pallas kernel forward, XLA-reference backward
     (custom VJP — pallas_call has no autodiff rule).
@@ -221,13 +264,24 @@ def flash_attention(
     compiles with no segment refs or mask passes at all (+~9% on the ViT
     full-att shape, r3 sweep). Segment ids may be None in that case; with
     dense=False, all-padding / non-overlapping-segment tiles are skipped
-    per-tile at runtime instead (block-diagonal sparsity)."""
+    per-tile at runtime instead (block-diagonal sparsity).
+
+    qkv_int8=True (serving tier, INFERENCE-ONLY — no vjp): q and k are
+    dynamically quantized to per-row symmetric int8 and QK^T runs on the
+    v5e int8 MXU mode (2x bf16 peak); the rank-1 scale rescale is exact
+    for the quantized operands, so the only error is the ~1/254 per-row
+    quantization step on q/k. PV stays bf16."""
     if sm_scale is None:
         sm_scale = 1.0 / (q.shape[-1] ** 0.5)
     if q_segment_ids is None:
         assert dense, "segment ids are required unless dense=True"
         q_segment_ids = jnp.zeros((q.shape[0], q.shape[2]), jnp.int32)
         kv_segment_ids = jnp.zeros((k.shape[0], k.shape[2]), jnp.int32)
+    if qkv_int8:
+        return _flash_attention_impl(
+            q, k, v, q_segment_ids, kv_segment_ids, causal=causal,
+            sm_scale=float(sm_scale), block_q=block_q, block_k=block_k,
+            interpret=interpret, dense=dense, qkv_int8=True)
     return _flash_attention_diff(q, k, v, q_segment_ids, kv_segment_ids,
                                  causal, float(sm_scale), block_q, block_k,
                                  interpret, dense)
@@ -236,7 +290,7 @@ def flash_attention(
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret",
-                     "dense"),
+                     "dense", "qkv_int8"),
 )
 def _flash_attention_impl(
     q: jnp.ndarray,       # [B, Hq, Sq, D]
@@ -250,6 +304,7 @@ def _flash_attention_impl(
     block_k: int = 1024,
     interpret: bool = False,
     dense: bool = False,
+    qkv_int8: bool = False,
 ) -> jnp.ndarray:
     b, hq, sq, d = q.shape
     hkv = k.shape[1]
@@ -261,6 +316,12 @@ def _flash_attention_impl(
     # the dense promise only holds if no block padding is introduced (pad
     # rows would be unmasked); shapes are static, so this stays compile-time
     dense = dense and sq % block_q == 0 and skv % block_k == 0
+
+    out_dtype = q.dtype
+    qsc = ksc = None
+    if qkv_int8:
+        q, qsc = _quant_rows_i8(q)
+        k, ksc = _quant_rows_i8(k)
 
     d_p = d + (-d) % 128
     sq_p = sq + (-sq) % block_q
@@ -276,14 +337,16 @@ def _flash_attention_impl(
         # no segment refs at all: the kernel body compiles with zero mask
         # passes
         kernel = functools.partial(
-            _dense_kernel_adapter, sm_scale=sm_scale, causal=causal,
-            bq=block_q, bk=block_k,
+            _i8_dense_kernel_adapter if qkv_int8 else _dense_kernel_adapter,
+            sm_scale=sm_scale, causal=causal, bq=block_q, bk=block_k,
         )
     else:
         kernel = functools.partial(
-            _kernel, sm_scale=sm_scale, causal=causal, bq=block_q,
-            bk=block_k, dense=False,
+            _i8_kernel_adapter if qkv_int8 else _kernel,
+            sm_scale=sm_scale, causal=causal, bq=block_q, bk=block_k,
         )
+        if not qkv_int8:
+            kernel = functools.partial(kernel, dense=False)
         # seg ids ride as [B, 1, S] so the blocked last-two dims are
         # (1, block): dim -2 equals the array dim (Mosaic allows block==dim),
         # dim -1 is a 128-multiple — required once B > 1 (a [B, S] layout
@@ -301,6 +364,20 @@ def _flash_attention_impl(
         pl.BlockSpec((None, None, block_k, d_p), lambda bi, h, iq, j: (bi, h // group, j, 0), memory_space=pltpu.VMEM),
     ]
     args += [qp, kp, vp]
+    if qkv_int8:
+        # per-row scales ride like the segment ids, one lane-block per
+        # (batch, head, q/k block): [B, H, 1, S] -> kernel ref [1, block]
+        qscp = _pad_to(qsc, 2, block_q)[:, :, None, :]
+        kscp = _pad_to(ksc, 2, block_k)[:, :, None, :]
+        in_specs += [
+            pl.BlockSpec((None, None, 1, block_q),
+                         lambda bi, h, iq, j: (bi, h, 0, iq),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, 1, block_k),
+                         lambda bi, h, iq, j: (bi, h // group, 0, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [qscp, kscp]
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -308,7 +385,7 @@ def _flash_attention_impl(
         out_specs=pl.BlockSpec(
             (None, None, block_q, d_p), lambda bi, h, iq, j: (bi, h, iq, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, hq, sq_p, d_p), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hq, sq_p, d_p), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),

@@ -270,22 +270,30 @@ def quantize_structure(tree, mode: str = "int8", group: int = INT4_GROUP):
     return walk(tree)
 
 
-def quantized_config(cfg, mode: str = "int8", act_quant: str = "none"):
+def quantized_config(cfg, mode: str = "int8", act_quant: str = "none",
+                     attn_qk_int8: bool = False):
     """ModelConfig -> same config with int8/int4 weight declarations in both
     towers (pair with quantize_int8/int4(params) when building a runner).
     act_quant="int8" additionally turns on the dynamic W8A8 matmul tier
     everywhere (matmul_w8a8; int8 weights only); "prefill" applies it to the
     compute-bound paths only (vision + prefill layers), leaving the
     HBM-bound decode scan on the weight-only dequant path — the serving
-    default."""
+    default. attn_qk_int8 extends the tier into the flash-attention QK^T
+    (per-row dynamic q/k int8; inference-only)."""
     import dataclasses
 
     if act_quant in ("int8", "prefill"):
         assert mode == "int8", "act_quant requires int8 weights"
     elif act_quant != "none":
         raise ValueError(f"act_quant must be none/int8/prefill, got {act_quant!r}")
+    if attn_qk_int8:
+        assert act_quant != "none", "attn_qk_int8 rides the act_quant tier"
     return dataclasses.replace(
         cfg,
-        text=dataclasses.replace(cfg.text, weight_quant=mode, act_quant=act_quant),
-        vision=dataclasses.replace(cfg.vision, weight_quant=mode, act_quant=act_quant),
+        text=dataclasses.replace(cfg.text, weight_quant=mode,
+                                 act_quant=act_quant,
+                                 attn_qk_int8=attn_qk_int8),
+        vision=dataclasses.replace(cfg.vision, weight_quant=mode,
+                                   act_quant=act_quant,
+                                   attn_qk_int8=attn_qk_int8),
     )

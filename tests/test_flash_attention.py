@@ -287,3 +287,40 @@ def test_flash_dense_matches_masked(causal):
     out2 = flash_attention(q2, k2, v2, None, None, causal=causal,
                            block_q=128, block_k=128, interpret=True, dense=True)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=2e-6, atol=2e-6)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("dense", [False, True])
+def test_flash_int8_qk_close_to_bf16(causal, dense):
+    """int8-QK serving tier (qkv_int8=True): per-row symmetric q/k
+    quantization + int32 MXU dot + rank-1 rescale must track the bf16
+    kernel within the quantization step; masking semantics identical."""
+    rng = np.random.default_rng(11)
+    b, hq, hkv, sq, skv, d = 1, 4, 2, 256, 256, 80
+    q = jnp.asarray(rng.standard_normal((b, hq, sq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, hkv, skv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, hkv, skv, d)), jnp.float32)
+    if dense:
+        qseg = jnp.zeros((b, sq), jnp.int32)
+        kseg = jnp.zeros((b, skv), jnp.int32)
+    else:
+        # two segments + padding tail
+        seg = np.zeros((b, sq), np.int32)
+        seg[:, sq // 2:] = 1
+        seg[:, -17:] = -1
+        qseg = kseg = jnp.asarray(seg)
+
+    bf16 = flash_attention(q, k, v, qseg, kseg, causal=causal,
+                           block_q=128, block_k=128, interpret=True,
+                           dense=dense)
+    i8 = flash_attention(q, k, v, qseg, kseg, causal=causal,
+                         block_q=128, block_k=128, interpret=True,
+                         dense=dense, qkv_int8=True)
+    a = np.asarray(bf16, np.float64).reshape(-1)
+    c = np.asarray(i8, np.float64).reshape(-1)
+    cos = (a @ c) / (np.linalg.norm(a) * np.linalg.norm(c) + 1e-12)
+    assert cos > 0.999, cos
+    assert float(np.max(np.abs(a - c))) < 0.15
+    if not dense:
+        # padding rows stay exactly zero through the int8 path
+        assert np.abs(np.asarray(i8)[:, :, -17:]).max() == 0.0

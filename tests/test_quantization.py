@@ -267,6 +267,16 @@ def test_w8a8_pipeline_close_to_fp():
     assert cosp > 0.98, cosp
     assert np.asarray(pr.generate(prep, max_new_tokens=4).sequences).shape[1] == 4
 
+    # attn_qk_int8 tier: plumbs through both towers (below the flash-size
+    # threshold the XLA fallback stays bf16, so logits are unchanged;
+    # kernel-level int8 numerics are covered in test_flash_attention)
+    q8cfg = quantized_config(cfg, "int8", act_quant="prefill",
+                             attn_qk_int8=True)
+    assert q8cfg.text.attn_qk_int8 and q8cfg.vision.attn_qk_int8
+    out_q8 = GlimpsePruneRunner(q8cfg, quantize_int8(params)).glimpse(prep)
+    np.testing.assert_allclose(np.asarray(out_q8.logits),
+                               np.asarray(out_p.logits), rtol=1e-5, atol=1e-5)
+
 
 def test_int8_kv_cache_attention_exact_and_pipeline():
     """int8 KV-cache tier (ops/kv_cache.py): the per-token-head scale
