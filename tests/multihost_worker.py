@@ -21,6 +21,12 @@ def main():
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
     import jax
 
+    # the axon sitecustomize registers its TPU plugin and pins jax_platforms
+    # at interpreter startup — the env vars above are not enough (same trick
+    # as tests/conftest.py); without this the worker attaches to the tunnel
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platform_name", "cpu")
+
     jax.distributed.initialize(
         coordinator_address=coord, num_processes=n_procs, process_id=pid)
     assert jax.process_count() == n_procs, jax.process_count()
