@@ -29,6 +29,7 @@ Env knobs: BENCH_SCALE=7b|3b|1b, BENCH_QUANT=int8|int4|'',
 BENCH_ACT_QUANT=int8|prefill|none (dynamic W8A8 on the int8 kernels — the v5e
 native int8 MXU serving tier, applied to BOTH sides),
 BENCH_QK_INT8=1 (int8-QK flash attention riding the act_quant tier),
+BENCH_PV_INT8=1 (extend to the PV dot; implies/requires BENCH_QK_INT8),
 BENCH_KV_QUANT=int8|none, BENCH_MAX_PIXELS=N (0 -> ~1M px / 1.3k tokens),
 BENCH_DECODE=N steps, BENCH_BATCH, BENCH_USE_REF, BENCH_REDUCE_LAYER,
 BENCH_SERVE_ROWS_P/_U, BENCH_SERVE_CHUNK, BENCH_REAL_WEIGHTS=1 (host-init
@@ -120,8 +121,10 @@ def _quant_from_env(cfg):
         from glimpseprune_tpu.quantization import quantized_config
 
         act = os.environ.get("BENCH_ACT_QUANT", "none") or "none"
-        qk8 = bool(int(os.environ.get("BENCH_QK_INT8", "0")))
-        cfg = quantized_config(cfg, quant, act_quant=act, attn_qk_int8=qk8)
+        pv8 = bool(int(os.environ.get("BENCH_PV_INT8", "0")))
+        qk8 = pv8 or bool(int(os.environ.get("BENCH_QK_INT8", "0")))
+        cfg = quantized_config(cfg, quant, act_quant=act, attn_qk_int8=qk8,
+                               attn_pv_int8=pv8)
     kv_quant = os.environ.get("BENCH_KV_QUANT", "int8")
     if kv_quant and kv_quant != "none":
         # int8 decode KV cache (ops/kv_cache.py): the serving-capacity tier

@@ -53,6 +53,9 @@ class VisionConfig:
     # dynamic per-row q/k quantization (inference-only — the int8 kernel has
     # no vjp). Only takes effect where act_quant enables the W8A8 tier.
     attn_qk_int8: bool = False
+    # extend the int8 kernel tier to the PV dot (static-1/127 p, per-column
+    # v per tile); requires attn_qk_int8
+    attn_pv_int8: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "fullatt_block_indexes", _tupled(self.fullatt_block_indexes))
@@ -95,6 +98,8 @@ class TextConfig:
     # int8-QK flash attention in prefill (see VisionConfig.attn_qk_int8);
     # inference-only, gated on act_quant being active for the prefill path
     attn_qk_int8: bool = False
+    # extend to the PV dot too (see VisionConfig.attn_pv_int8)
+    attn_pv_int8: bool = False
     # decode KV cache dtype tier: "none" = model dtype (bf16), "int8" =
     # per-(token, head) symmetric int8 + f32 amax/127 scales (the cache
     # becomes the pytree {"q": int8 [L,B,T,Hkv,D], "s": f32 [L,B,T,Hkv]}).

@@ -113,7 +113,8 @@ def _layer_prefill(cfg: TextConfig, pl, x, cos, sin, valid, q_index, dtype):
     h = _rms(x, pl["input_layernorm"]["weight"], cfg.rms_norm_eps)
     q, k, v = _qkv(cfg, pl, h, cos, sin, dtype, a8)
     attn = causal_segment_attention(q, k, v, valid,
-                                    int8_qk=a8 and cfg.attn_qk_int8)
+                                    int8_qk=a8 and cfg.attn_qk_int8,
+                                    int8_pv=a8 and cfg.attn_pv_int8)
     b, s = x.shape[:2]
     x = x + _dense(attn.reshape(b, s, -1), pl["self_attn"]["o_proj"], dtype, a8)
     x = x + _mlp(cfg, pl, _rms(x, pl["post_attention_layernorm"]["weight"], cfg.rms_norm_eps), dtype, a8)

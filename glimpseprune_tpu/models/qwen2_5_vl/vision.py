@@ -102,6 +102,8 @@ def _block_fwd(cfg: VisionConfig, pb, x, cos, sin, segment_ids, valid, wp: int,
         else:
             attn = segment_attention(q, k, v, segment_ids, dense=dense_attn,
                                      int8_qk=a8 and cfg.attn_qk_int8
+                                     and not emit_importance,
+                                     int8_pv=a8 and cfg.attn_pv_int8
                                      and not emit_importance)
     x = x + _dense(attn.reshape(p, cfg.hidden_size), pb["attn"]["proj"], dtype, a8)
 

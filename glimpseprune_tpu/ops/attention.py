@@ -67,6 +67,7 @@ def segment_attention(
     segment_ids: jnp.ndarray,  # [S] int; attend iff equal; <0 = padding
     dense: bool = False,
     int8_qk: bool = False,
+    int8_pv: bool = False,
 ) -> jnp.ndarray:
     """Bidirectional block-diagonal attention for the packed ViT sequence.
 
@@ -75,7 +76,8 @@ def segment_attention(
     with no segment masking at all (+~9% at the 64k-patch bench shape).
     int8_qk=True (serving tier, inference-only) runs QK^T on the int8 MXU
     mode at flash sizes; the XLA fallback below the flash threshold stays
-    bf16 (numerically the tier is per-row-quantized q/k only)."""
+    bf16 (numerically the tier is per-row-quantized q/k only). int8_pv
+    extends the tier to the PV dot (static-1/127 p + per-column v)."""
     if _use_flash(q.shape[0]):
         from glimpseprune_tpu.ops.pallas.flash_attention import flash_attention
 
@@ -84,7 +86,7 @@ def segment_attention(
             q.transpose(1, 0, 2)[None], k.transpose(1, 0, 2)[None],
             v.transpose(1, 0, 2)[None], seg, seg, causal=False,
             interpret=ATTENTION_IMPL == "flash_interpret", dense=dense,
-            qkv_int8=int8_qk,
+            qkv_int8=int8_qk, pv_int8=int8_qk and int8_pv,
         )
         return out[0].transpose(1, 0, 2)
     allowed = (segment_ids[:, None] == segment_ids[None, :]) & (segment_ids >= 0)[:, None]
@@ -176,9 +178,10 @@ def causal_segment_attention(
     v: jnp.ndarray,  # [B, S, Hkv, D]
     valid: jnp.ndarray,  # [B, S] bool (padding mask)
     int8_qk: bool = False,
+    int8_pv: bool = False,
 ) -> jnp.ndarray:
     """Causal GQA self-attention over a (possibly left-padded) batch.
-    int8_qk: see segment_attention (serving tier, inference-only)."""
+    int8_qk / int8_pv: see segment_attention (serving tier, inference-only)."""
     b, s, hq, d = q.shape
     if _use_flash(s):
         from glimpseprune_tpu.ops.pallas.flash_attention import flash_attention
@@ -188,7 +191,7 @@ def causal_segment_attention(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3), seg, seg, causal=True,
             interpret=ATTENTION_IMPL == "flash_interpret",
-            qkv_int8=int8_qk,
+            qkv_int8=int8_qk, pv_int8=int8_qk and int8_pv,
         )
         return out.transpose(0, 2, 1, 3)
     causal = jnp.tril(jnp.ones((s, s), dtype=bool))

@@ -47,6 +47,7 @@ def _kernel(
     dense: bool,
     qsc_ref=None,  # [1, bq] f32 per-row q scales (int8 path only)
     ksc_ref=None,  # [1, bk] f32 per-row k scales
+    pv_int8: bool = False,
 ):
     iq = pl.program_id(2)
     j = pl.program_id(3)
@@ -121,10 +122,28 @@ def _kernel(
         alpha = jnp.exp2(m_prev - m_new)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         vb = v_ref[:]
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if pv_int8:
+            # PV on the int8 MXU mode too ("all" tier). p = exp2(s - m_new)
+            # is in [0, 1] by construction, so its int8 scale is the STATIC
+            # 1/127 (no amax pass); v is quantized per-COLUMN within the
+            # tile (scale constant along the bk contraction dim), so both
+            # scales factor out of the dot exactly — the only error is the
+            # two quantization steps. The softmax denominator l stays f32.
+            p_i8 = jnp.round(p * 127.0).astype(jnp.int8)
+            vf = vb.astype(jnp.float32)
+            vsc = jnp.maximum(jnp.max(jnp.abs(vf), axis=0, keepdims=True),
+                              1e-8) / 127.0  # [1, D]
+            v_i8 = jnp.clip(jnp.round(vf / vsc), -127, 127).astype(jnp.int8)
+            pv = jax.lax.dot_general(
+                p_i8, v_i8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            acc_ref[:] = acc_ref[:] * alpha + pv * (vsc * (1.0 / 127.0))
+        else:
+            acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+                p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         m_ref[:] = m_new
 
     @pl.when(j == nk - 1)
@@ -137,18 +156,18 @@ def _kernel(
 
 def _i8_kernel_adapter(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, qsc_ref,
                        ksc_ref, o_ref, m_ref, l_ref, acc_ref, *,
-                       sm_scale, causal, bq, bk):
+                       sm_scale, causal, bq, bk, pv_int8=False):
     _kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
             acc_ref, sm_scale=sm_scale, causal=causal, bq=bq, bk=bk,
-            dense=False, qsc_ref=qsc_ref, ksc_ref=ksc_ref)
+            dense=False, qsc_ref=qsc_ref, ksc_ref=ksc_ref, pv_int8=pv_int8)
 
 
 def _i8_dense_kernel_adapter(q_ref, k_ref, v_ref, qsc_ref, ksc_ref, o_ref,
                              m_ref, l_ref, acc_ref, *, sm_scale, causal,
-                             bq, bk):
+                             bq, bk, pv_int8=False):
     _kernel(None, None, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
             sm_scale=sm_scale, causal=causal, bq=bq, bk=bk, dense=True,
-            qsc_ref=qsc_ref, ksc_ref=ksc_ref)
+            qsc_ref=qsc_ref, ksc_ref=ksc_ref, pv_int8=pv_int8)
 
 
 def _quant_rows_i8(x):
@@ -250,6 +269,7 @@ def flash_attention(
     interpret: bool = False,
     dense: bool = False,
     qkv_int8: bool = False,
+    pv_int8: bool = False,
 ):
     """Differentiable wrapper: pallas kernel forward, XLA-reference backward
     (custom VJP — pallas_call has no autodiff rule).
@@ -270,18 +290,23 @@ def flash_attention(
     dynamically quantized to per-row symmetric int8 and QK^T runs on the
     v5e int8 MXU mode (2x bf16 peak); the rank-1 scale rescale is exact
     for the quantized operands, so the only error is the ~1/254 per-row
-    quantization step on q/k. PV stays bf16."""
+    quantization step on q/k. PV stays bf16 unless pv_int8=True ("all"
+    tier, requires qkv_int8): p = exp2(s - m) ∈ [0, 1] quantizes with a
+    static 1/127 scale and v per-column per tile, both factoring out of
+    the dot exactly — attention then runs BOTH dots at the int8 rate."""
     if sm_scale is None:
         sm_scale = 1.0 / (q.shape[-1] ** 0.5)
     if q_segment_ids is None:
         assert dense, "segment ids are required unless dense=True"
         q_segment_ids = jnp.zeros((q.shape[0], q.shape[2]), jnp.int32)
         kv_segment_ids = jnp.zeros((k.shape[0], k.shape[2]), jnp.int32)
+    assert not (pv_int8 and not qkv_int8), "pv_int8 rides the qkv_int8 tier"
     if qkv_int8:
         return _flash_attention_impl(
             q, k, v, q_segment_ids, kv_segment_ids, causal=causal,
             sm_scale=float(sm_scale), block_q=block_q, block_k=block_k,
-            interpret=interpret, dense=dense, qkv_int8=True)
+            interpret=interpret, dense=dense, qkv_int8=True,
+            pv_int8=pv_int8)
     return _flash_attention_diff(q, k, v, q_segment_ids, kv_segment_ids,
                                  causal, float(sm_scale), block_q, block_k,
                                  interpret, dense)
@@ -290,7 +315,7 @@ def flash_attention(
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret",
-                     "dense", "qkv_int8"),
+                     "dense", "qkv_int8", "pv_int8"),
 )
 def _flash_attention_impl(
     q: jnp.ndarray,       # [B, Hq, Sq, D]
@@ -305,6 +330,7 @@ def _flash_attention_impl(
     interpret: bool = False,
     dense: bool = False,
     qkv_int8: bool = False,
+    pv_int8: bool = False,
 ) -> jnp.ndarray:
     b, hq, sq, d = q.shape
     hkv = k.shape[1]
@@ -340,13 +366,15 @@ def _flash_attention_impl(
             _i8_dense_kernel_adapter if qkv_int8 else _dense_kernel_adapter,
             sm_scale=sm_scale, causal=causal, bq=block_q, bk=block_k,
         )
+        if qkv_int8:
+            kernel = functools.partial(kernel, pv_int8=pv_int8)
     else:
         kernel = functools.partial(
             _i8_kernel_adapter if qkv_int8 else _kernel,
             sm_scale=sm_scale, causal=causal, bq=block_q, bk=block_k,
         )
-        if not qkv_int8:
-            kernel = functools.partial(kernel, dense=False)
+        kernel = functools.partial(
+            kernel, **({"pv_int8": pv_int8} if qkv_int8 else {"dense": False}))
         # seg ids ride as [B, 1, S] so the blocked last-two dims are
         # (1, block): dim -2 equals the array dim (Mosaic allows block==dim),
         # dim -1 is a 128-multiple — required once B > 1 (a [B, S] layout

@@ -271,7 +271,7 @@ def quantize_structure(tree, mode: str = "int8", group: int = INT4_GROUP):
 
 
 def quantized_config(cfg, mode: str = "int8", act_quant: str = "none",
-                     attn_qk_int8: bool = False):
+                     attn_qk_int8: bool = False, attn_pv_int8: bool = False):
     """ModelConfig -> same config with int8/int4 weight declarations in both
     towers (pair with quantize_int8/int4(params) when building a runner).
     act_quant="int8" additionally turns on the dynamic W8A8 matmul tier
@@ -279,7 +279,8 @@ def quantized_config(cfg, mode: str = "int8", act_quant: str = "none",
     compute-bound paths only (vision + prefill layers), leaving the
     HBM-bound decode scan on the weight-only dequant path — the serving
     default. attn_qk_int8 extends the tier into the flash-attention QK^T
-    (per-row dynamic q/k int8; inference-only)."""
+    (per-row dynamic q/k int8; inference-only); attn_pv_int8 additionally
+    moves the PV dot to the int8 MXU mode (static-1/127 p, per-column v)."""
     import dataclasses
 
     if act_quant in ("int8", "prefill"):
@@ -288,12 +289,16 @@ def quantized_config(cfg, mode: str = "int8", act_quant: str = "none",
         raise ValueError(f"act_quant must be none/int8/prefill, got {act_quant!r}")
     if attn_qk_int8:
         assert act_quant != "none", "attn_qk_int8 rides the act_quant tier"
+    if attn_pv_int8:
+        assert attn_qk_int8, "attn_pv_int8 rides the attn_qk_int8 tier"
     return dataclasses.replace(
         cfg,
         text=dataclasses.replace(cfg.text, weight_quant=mode,
                                  act_quant=act_quant,
-                                 attn_qk_int8=attn_qk_int8),
+                                 attn_qk_int8=attn_qk_int8,
+                                 attn_pv_int8=attn_pv_int8),
         vision=dataclasses.replace(cfg.vision, weight_quant=mode,
                                    act_quant=act_quant,
-                                   attn_qk_int8=attn_qk_int8),
+                                   attn_qk_int8=attn_qk_int8,
+                                   attn_pv_int8=attn_pv_int8),
     )

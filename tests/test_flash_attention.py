@@ -291,10 +291,13 @@ def test_flash_dense_matches_masked(causal):
 
 @pytest.mark.parametrize("causal", [False, True])
 @pytest.mark.parametrize("dense", [False, True])
-def test_flash_int8_qk_close_to_bf16(causal, dense):
+@pytest.mark.parametrize("pv", [False, True])
+def test_flash_int8_qk_close_to_bf16(causal, dense, pv):
     """int8-QK serving tier (qkv_int8=True): per-row symmetric q/k
     quantization + int32 MXU dot + rank-1 rescale must track the bf16
-    kernel within the quantization step; masking semantics identical."""
+    kernel within the quantization step; masking semantics identical.
+    pv=True additionally runs the PV dot in int8 (static-1/127 p,
+    per-column v) — the 'all' tier."""
     rng = np.random.default_rng(11)
     b, hq, hkv, sq, skv, d = 1, 4, 2, 256, 256, 80
     q = jnp.asarray(rng.standard_normal((b, hq, sq, d)), jnp.float32)
@@ -315,12 +318,12 @@ def test_flash_int8_qk_close_to_bf16(causal, dense):
                            dense=dense)
     i8 = flash_attention(q, k, v, qseg, kseg, causal=causal,
                          block_q=128, block_k=128, interpret=True,
-                         dense=dense, qkv_int8=True)
+                         dense=dense, qkv_int8=True, pv_int8=pv)
     a = np.asarray(bf16, np.float64).reshape(-1)
     c = np.asarray(i8, np.float64).reshape(-1)
     cos = (a @ c) / (np.linalg.norm(a) * np.linalg.norm(c) + 1e-12)
-    assert cos > 0.999, cos
-    assert float(np.max(np.abs(a - c))) < 0.15
+    assert cos > (0.998 if pv else 0.999), cos
+    assert float(np.max(np.abs(a - c))) < (0.25 if pv else 0.15)
     if not dense:
         # padding rows stay exactly zero through the int8 path
         assert np.abs(np.asarray(i8)[:, :, -17:]).max() == 0.0
