@@ -347,6 +347,49 @@ def test_use_ref_masks_parity(stacks):
         atol=ATOL_LOGITS, rtol=0)
 
 
+def test_delayed_selection_parity(stacks):
+    """Two-phase API: phase-1 logits fed back via image_token_mask_logits
+    must produce the same reduced state as the one-shot path (reference
+    _do_delayed_selection, llava_llama.py:1587-1622; the apply call is
+    forward(do_selection=False, image_token_mask_logits=...) because the
+    todo_selection branch is an elif on do_selection)."""
+    cfg, cc, ref_model, runner = stacks
+    rng = np.random.default_rng(7)
+    prep, ref_inputs = make_case(cfg, cc, rng, 1)
+
+    ref = load_reference_llava_gp()
+    ref_model.reset_image_tokens_cache()
+    with torch.no_grad():
+        out1 = ref_model(**ref_inputs, use_cache=True, return_dict=True,
+                         past_key_values=ref.ShimLlavaCache(),
+                         do_selection=True, delay_selection=True)
+        out2 = ref_model(**ref_inputs, use_cache=True, return_dict=True,
+                         do_selection=False,
+                         image_token_mask_logits=out1.image_token_mask_logits)
+    ref_model.reset_image_tokens_cache()
+
+    import jax.numpy as jnp
+
+    mask_logits, state = runner.glimpse_delayed(prep)
+    ours = runner.apply_selection(state, mask_logits, prep.out_len,
+                                  None if prep.anchor_mask is None
+                                  else jnp.asarray(prep.anchor_mask))
+
+    np.testing.assert_allclose(
+        np.asarray(mask_logits)[:, 0],
+        out1.image_token_mask_logits[0].numpy(), atol=ATOL_MASK, rtol=0)
+    ref_valid = out2.attention_mask[0].numpy().astype(bool)
+    ref_ids = out2.input_ids[0].numpy()[ref_valid]
+    ref_ids = np.where(ref_ids == IMAGE_TOKEN_INDEX, cfg.image_token_id,
+                       ref_ids)
+    our_valid = np.asarray(ours.valid)[0].astype(bool)
+    np.testing.assert_array_equal(
+        np.asarray(ours.input_ids)[0][our_valid], ref_ids)
+    np.testing.assert_allclose(
+        np.asarray(ours.logits)[0, 0], out2.logits[0, -1].numpy(),
+        atol=ATOL_LOGITS, rtol=0)
+
+
 def test_use_zero_masks_parity(stacks):
     cfg, cc, ref_model, runner = stacks
     rng = np.random.default_rng(6)
