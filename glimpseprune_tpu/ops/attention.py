@@ -13,6 +13,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 NEG_INF = -1e30
 
@@ -35,6 +36,56 @@ def _use_flash(seq_len: int) -> bool:
     if ATTENTION_IMPL in ("flash", "flash_interpret"):
         return True
     return jax.default_backend() == "tpu" and seq_len >= _FLASH_MIN_SEQ
+
+
+# ---------------------------------------------------------------------- #
+# Sequence (context) parallelism: shard the PREFILL sequence dim over a
+# mesh axis so one long-context request scales across chips — the "sp" in
+# dp/tp/sp. The reference has no analogue (DDP only, SURVEY.md §2.8); on
+# TPU it is shard_map over ICI: window attention shards with ZERO
+# collectives (windows are independent), full/causal attention keeps Q
+# local and all-gathers the (much smaller, GQA) K/V once per layer.
+# Causal masking under a sharded Q uses the flash kernel's q_positions
+# path (global slot indices). Everything outside these choke points is
+# sequence-pointwise or weight matmuls, which GSPMD partitions from the
+# shard_map boundary shardings automatically — enabling SP therefore
+# needs no model-code changes (mirrors parallel.shard_params).
+#
+# Scope: serving/prefill. The causal flash path under SP is inference-only
+# (q_positions has no vjp); training under SP differentiates through the
+# XLA fallback (set_attention_impl("xla")) or disables SP.
+
+_SP_CTX: Optional[tuple] = None  # (Mesh, axis_name)
+
+
+def set_sequence_parallel(mesh, axis_name: str = "data"):
+    """Enable (mesh given) / disable (None) sequence-parallel attention.
+
+    Use parallel.sequence_parallel(...) for the context-manager form."""
+    global _SP_CTX
+    _SP_CTX = None if mesh is None else (mesh, axis_name)
+
+
+def _sp_split(total: int, multiple: int = 1):
+    """(mesh, axis, n) when SP is on and `total` splits into n equal
+    `multiple`-aligned shards; None otherwise (caller falls back)."""
+    if _SP_CTX is None:
+        return None
+    mesh, axis = _SP_CTX
+    n = mesh.shape[axis]
+    if n <= 1 or total % (n * multiple) != 0:
+        return None
+    return mesh, axis, n
+
+
+def _sp_shard_map(fn, mesh, axis, in_specs, out_specs):
+    # jit wrapper: partial-manual shard_map (axis_names ⊂ mesh axes) only
+    # traces under jit (the eager path rejects specs over the auto axes).
+    # Inside the runner's jitted phases this inlines into the outer trace;
+    # only direct eager calls (unit tests) pay a per-call compile.
+    return jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, axis_names={axis},
+                                 check_vma=False))
 
 
 def _softmax_attend(
@@ -77,7 +128,52 @@ def segment_attention(
     int8_qk=True (serving tier, inference-only) runs QK^T on the int8 MXU
     mode at flash sizes; the XLA fallback below the flash threshold stays
     bf16 (numerically the tier is per-row-quantized q/k only). int8_pv
-    extends the tier to the PV dot (static-1/127 p + per-column v)."""
+    extends the tier to the PV dot (static-1/127 p + per-column v).
+
+    Under sequence parallelism (set_sequence_parallel) the packed dim
+    shards over the mesh axis: Q/segments stay local, K/V all-gather once.
+    Each impl's padding-row convention is preserved shard-locally, so SP
+    output == single-device output bit-for-bit per impl."""
+    sp = _sp_split(q.shape[0])
+    if sp is not None:
+        mesh, axis, n = sp
+        use_flash = _use_flash(q.shape[0])  # decide on the GLOBAL length
+
+        def local(q, k, v, seg):
+            kg = jax.lax.all_gather(k, axis, axis=0, tiled=True)
+            vg = jax.lax.all_gather(v, axis, axis=0, tiled=True)
+            sg = jax.lax.all_gather(seg, axis, axis=0, tiled=True)
+            if use_flash:
+                from glimpseprune_tpu.ops.pallas.flash_attention import (
+                    flash_attention,
+                )
+
+                out = flash_attention(
+                    q.transpose(1, 0, 2)[None], kg.transpose(1, 0, 2)[None],
+                    vg.transpose(1, 0, 2)[None], seg[None], sg[None],
+                    causal=False,
+                    interpret=ATTENTION_IMPL == "flash_interpret",
+                    dense=False,
+                    qkv_int8=int8_qk, pv_int8=int8_qk and int8_pv,
+                )
+                return out[0].transpose(1, 0, 2)
+            allowed = (seg[:, None] == sg[None, :]) & (sg >= 0)[None, :]
+            # the XLA path's pad-row self-attention, on GLOBAL indices
+            sl = q.shape[0]
+            gidx = jax.lax.axis_index(axis) * sl + jnp.arange(sl)
+            eye = gidx[:, None] == jnp.arange(sg.shape[0])[None, :]
+            allowed = allowed | eye
+            qb = q.transpose(1, 0, 2)[None]
+            out = _softmax_attend(qb, kg.transpose(1, 0, 2)[None],
+                                  vg.transpose(1, 0, 2)[None],
+                                  allowed[None, None])
+            return out[0].transpose(1, 0, 2)
+
+        return _sp_shard_map(
+            local, mesh, axis,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=P(axis),
+        )(q, k, v, segment_ids)
     if _use_flash(q.shape[0]):
         from glimpseprune_tpu.ops.pallas.flash_attention import flash_attention
 
@@ -112,7 +208,24 @@ def batched_window_attention(
     The TPU-native form of the ViT's windowed attention — no [P, P] mask, the
     window dimension maps straight onto the MXU. Pad slots attend to
     themselves only (identity) so softmax stays defined.
+
+    Under sequence parallelism whole windows shard over the mesh axis with
+    ZERO collectives (windows never attend across themselves).
     """
+    sp = _sp_split(q.shape[0], multiple=wp)
+    if sp is not None:
+        mesh, axis, _ = sp
+        return _sp_shard_map(
+            lambda q_, k_, v_, val_: _batched_window_attention_impl(
+                q_, k_, v_, val_, wp),
+            mesh, axis,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=P(axis),
+        )(q, k, v, valid)
+    return _batched_window_attention_impl(q, k, v, valid, wp)
+
+
+def _batched_window_attention_impl(q, k, v, valid, wp: int):
     p, h, d = q.shape
     nw = p // wp
     if ATTENTION_IMPL != "xla" and (
@@ -153,7 +266,24 @@ def fused_window_attention(
     TPU: one fused pallas program per window consuming the qkv matmul output
     in natural layout (the unfused path's q/k/v HBM transposes + separate
     rope passes cost ~22ms/block at 64k patches vs 6ms of attention math).
-    XLA fallback unpacks and runs the reference path."""
+    XLA fallback unpacks and runs the reference path.
+
+    Under sequence parallelism whole windows (and their rope rows) shard
+    over the mesh axis with zero collectives."""
+    sp = _sp_split(qkv.shape[0], multiple=wp)
+    if sp is not None:
+        mesh, axis, _ = sp
+        return _sp_shard_map(
+            lambda qkv_, c_, s_, val_: _fused_window_attention_impl(
+                qkv_, c_, s_, val_, wp),
+            mesh, axis,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=P(axis),
+        )(qkv, cos, sin, valid)
+    return _fused_window_attention_impl(qkv, cos, sin, valid, wp)
+
+
+def _fused_window_attention_impl(qkv, cos, sin, valid, wp: int):
     if ATTENTION_IMPL != "xla" and (
         ATTENTION_IMPL == "flash_interpret" or jax.default_backend() == "tpu"
     ):
@@ -169,7 +299,7 @@ def fused_window_attention(
     q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
     q = apply_rotary(q[None], cos[None].astype(q.dtype), sin[None].astype(q.dtype))[0]
     k = apply_rotary(k[None], cos[None].astype(k.dtype), sin[None].astype(k.dtype))[0]
-    return batched_window_attention(q, k, v, valid, wp)
+    return _batched_window_attention_impl(q, k, v, valid, wp)
 
 
 def causal_segment_attention(
@@ -181,8 +311,54 @@ def causal_segment_attention(
     int8_pv: bool = False,
 ) -> jnp.ndarray:
     """Causal GQA self-attention over a (possibly left-padded) batch.
-    int8_qk / int8_pv: see segment_attention (serving tier, inference-only)."""
+    int8_qk / int8_pv: see segment_attention (serving tier, inference-only).
+
+    Under sequence parallelism the sequence dim shards over the mesh axis:
+    Q local, K/V all-gathered (GQA keeps the gather Hkv/Hq the size of Q's),
+    causal masking against GLOBAL slot positions via the flash kernel's
+    q_positions path (inference-only) or the XLA mask. Padding semantics
+    are position-based (absolute slots), identical to the unsharded paths."""
     b, s, hq, d = q.shape
+    sp = _sp_split(s)
+    if sp is not None:
+        mesh, axis, n = sp
+        use_flash = _use_flash(s)  # decide on the GLOBAL length
+
+        def local(q, k, v, valid_q):
+            kg = jax.lax.all_gather(k, axis, axis=1, tiled=True)
+            vg = jax.lax.all_gather(v, axis, axis=1, tiled=True)
+            vgl = jax.lax.all_gather(valid_q, axis, axis=1, tiled=True)
+            sl = q.shape[1]
+            qpos = jax.lax.axis_index(axis) * sl + jnp.arange(sl)
+            if use_flash:
+                from glimpseprune_tpu.ops.pallas.flash_attention import (
+                    flash_attention,
+                )
+
+                seg_q = jnp.where(valid_q, 0, -1).astype(jnp.int32)
+                seg_k = jnp.where(vgl, 0, -1).astype(jnp.int32)
+                out = flash_attention(
+                    q.transpose(0, 2, 1, 3), kg.transpose(0, 2, 1, 3),
+                    vg.transpose(0, 2, 1, 3), seg_q, seg_k, causal=True,
+                    interpret=ATTENTION_IMPL == "flash_interpret",
+                    qkv_int8=int8_qk, pv_int8=int8_qk and int8_pv,
+                    q_positions=jnp.broadcast_to(qpos, (q.shape[0], sl)),
+                )
+                return out.transpose(0, 2, 1, 3)
+            t = kg.shape[1]
+            causal = qpos[:, None] >= jnp.arange(t)[None, :]  # [sl, T]
+            allowed = causal[None] & vgl[:, None, :]  # [B, sl, T]
+            qb = q.transpose(0, 2, 1, 3)
+            kb = _expand_kv(kg, hq)
+            vb = _expand_kv(vg, hq)
+            out = _softmax_attend(qb, kb, vb, allowed[:, None])
+            return out.transpose(0, 2, 1, 3)
+
+        return _sp_shard_map(
+            local, mesh, axis,
+            in_specs=(P(None, axis), P(None, axis), P(None, axis), P(None, axis)),
+            out_specs=P(None, axis),
+        )(q, k, v, valid)
     if _use_flash(s):
         from glimpseprune_tpu.ops.pallas.flash_attention import flash_attention
 

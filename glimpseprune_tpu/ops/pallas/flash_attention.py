@@ -48,6 +48,9 @@ def _kernel(
     qsc_ref=None,  # [1, bq] f32 per-row q scales (int8 path only)
     ksc_ref=None,  # [1, bk] f32 per-row k scales
     pv_int8: bool = False,
+    qpos_ref=None,  # [1, bq] int32 GLOBAL q positions (sequence-parallel /
+                    # chunked-prefill shards: causal masking against absolute
+                    # slot indices instead of local block offsets)
 ):
     iq = pl.program_id(2)
     j = pl.program_id(3)
@@ -59,8 +62,14 @@ def _kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # causal: kv blocks strictly above the diagonal contribute nothing
-    run = j * bk <= iq * bq + bq - 1 if causal else True
+    # causal: kv blocks strictly above the diagonal contribute nothing.
+    # With explicit q positions the diagonal is dynamic (q rows are a shard
+    # of a longer sequence): skip on the block's max position instead —
+    # exact, since positions are sorted within the packed layouts.
+    if causal and qpos_ref is not None:
+        run = jnp.max(qpos_ref[:, :]) >= j * bk
+    else:
+        run = j * bk <= iq * bq + bq - 1 if causal else True
 
     if not dense:
         # Per-tile range overlap (scalar reduces over the two seg rows,
@@ -108,7 +117,10 @@ def _kernel(
             kseg_row = kseg_ref[:, :]  # [1, bk]
             allowed = (qseg_col == kseg_row) & (qseg_col >= 0)
             if causal:
-                q_pos_col = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+                if qpos_ref is not None:
+                    q_pos_col = qpos_ref[:, :].reshape(bq, 1)
+                else:
+                    q_pos_col = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
                 k_pos_row = j * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
                 allowed = allowed & (q_pos_col >= k_pos_row)
             s = jnp.where(allowed, s, NEG_INF)
@@ -160,6 +172,23 @@ def _i8_kernel_adapter(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, qsc_ref,
     _kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
             acc_ref, sm_scale=sm_scale, causal=causal, bq=bq, bk=bk,
             dense=False, qsc_ref=qsc_ref, ksc_ref=ksc_ref, pv_int8=pv_int8)
+
+
+def _qpos_kernel_adapter(qseg_ref, kseg_ref, qpos_ref, q_ref, k_ref, v_ref,
+                         o_ref, m_ref, l_ref, acc_ref, *,
+                         sm_scale, causal, bq, bk):
+    _kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
+            acc_ref, sm_scale=sm_scale, causal=causal, bq=bq, bk=bk,
+            dense=False, qpos_ref=qpos_ref)
+
+
+def _i8_qpos_kernel_adapter(qseg_ref, kseg_ref, qpos_ref, q_ref, k_ref, v_ref,
+                            qsc_ref, ksc_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                            sm_scale, causal, bq, bk, pv_int8=False):
+    _kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
+            acc_ref, sm_scale=sm_scale, causal=causal, bq=bq, bk=bk,
+            dense=False, qsc_ref=qsc_ref, ksc_ref=ksc_ref, pv_int8=pv_int8,
+            qpos_ref=qpos_ref)
 
 
 def _i8_dense_kernel_adapter(q_ref, k_ref, v_ref, qsc_ref, ksc_ref, o_ref,
@@ -270,6 +299,7 @@ def flash_attention(
     dense: bool = False,
     qkv_int8: bool = False,
     pv_int8: bool = False,
+    q_positions=None,
 ):
     """Differentiable wrapper: pallas kernel forward, XLA-reference backward
     (custom VJP — pallas_call has no autodiff rule).
@@ -293,7 +323,14 @@ def flash_attention(
     quantization step on q/k. PV stays bf16 unless pv_int8=True ("all"
     tier, requires qkv_int8): p = exp2(s - m) ∈ [0, 1] quantizes with a
     static 1/127 scale and v per-column per tile, both factoring out of
-    the dot exactly — attention then runs BOTH dots at the int8 rate."""
+    the dot exactly — attention then runs BOTH dots at the int8 rate.
+
+    q_positions ([B, Sq] int32, INFERENCE-ONLY — no vjp): explicit GLOBAL
+    q slot positions for causal masking, for callers whose q rows are a
+    shard/chunk of a longer sequence (sequence-parallel prefill over a
+    mesh axis, chunked prefill): causal allows k slot t iff
+    t <= q_positions[s], where kv rows are the FULL sequence in slot
+    order. Requires causal=True and dense=False."""
     if sm_scale is None:
         sm_scale = 1.0 / (q.shape[-1] ** 0.5)
     if q_segment_ids is None:
@@ -301,6 +338,13 @@ def flash_attention(
         q_segment_ids = jnp.zeros((q.shape[0], q.shape[2]), jnp.int32)
         kv_segment_ids = jnp.zeros((k.shape[0], k.shape[2]), jnp.int32)
     assert not (pv_int8 and not qkv_int8), "pv_int8 rides the qkv_int8 tier"
+    if q_positions is not None:
+        assert causal and not dense, "q_positions implies causal, non-dense"
+        return _flash_attention_impl(
+            q, k, v, q_segment_ids, kv_segment_ids, causal=True,
+            sm_scale=float(sm_scale), block_q=block_q, block_k=block_k,
+            interpret=interpret, dense=False, qkv_int8=qkv_int8,
+            pv_int8=pv_int8, q_positions=q_positions)
     if qkv_int8:
         return _flash_attention_impl(
             q, k, v, q_segment_ids, kv_segment_ids, causal=causal,
@@ -331,6 +375,7 @@ def _flash_attention_impl(
     dense: bool = False,
     qkv_int8: bool = False,
     pv_int8: bool = False,
+    q_positions: Optional[jnp.ndarray] = None,  # [B, Sq] int32 global slots
 ) -> jnp.ndarray:
     b, hq, sq, d = q.shape
     hkv = k.shape[1]
@@ -369,12 +414,18 @@ def _flash_attention_impl(
         if qkv_int8:
             kernel = functools.partial(kernel, pv_int8=pv_int8)
     else:
+        has_qpos = q_positions is not None
+        if has_qpos:
+            base = _i8_qpos_kernel_adapter if qkv_int8 else _qpos_kernel_adapter
+        else:
+            base = _i8_kernel_adapter if qkv_int8 else _kernel
         kernel = functools.partial(
-            _i8_kernel_adapter if qkv_int8 else _kernel,
-            sm_scale=sm_scale, causal=causal, bq=block_q, bk=block_k,
+            base, sm_scale=sm_scale, causal=causal, bq=block_q, bk=block_k,
         )
-        kernel = functools.partial(
-            kernel, **({"pv_int8": pv_int8} if qkv_int8 else {"dense": False}))
+        if qkv_int8:
+            kernel = functools.partial(kernel, pv_int8=pv_int8)
+        elif not has_qpos:
+            kernel = functools.partial(kernel, dense=False)
         # seg ids ride as [B, 1, S] so the blocked last-two dims are
         # (1, block): dim -2 equals the array dim (Mosaic allows block==dim),
         # dim -1 is a 128-multiple — required once B > 1 (a [B, S] layout
@@ -386,6 +437,15 @@ def _flash_attention_impl(
             pl.BlockSpec((None, 1, block_k), lambda bi, h, iq, j: (bi, 0, j), memory_space=pltpu.VMEM),
         ]
         args += [qsp, ksp]
+        if has_qpos:
+            # global q positions ride like the q segment ids; pad rows get
+            # position 0 (their outputs are sliced away, and 0 never raises
+            # a tile's max-position skip bound)
+            qpp = _pad_to(q_positions.astype(jnp.int32), 1, block_q)[:, None, :]
+            in_specs += [
+                pl.BlockSpec((None, 1, block_q), lambda bi, h, iq, j: (bi, 0, iq), memory_space=pltpu.VMEM),
+            ]
+            args += [qpp]
     in_specs += [
         pl.BlockSpec((None, None, block_q, d_p), lambda bi, h, iq, j: (bi, h, iq, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((None, None, block_k, d_p), lambda bi, h, iq, j: (bi, h // group, j, 0), memory_space=pltpu.VMEM),

@@ -1,8 +1,17 @@
 from glimpseprune_tpu.parallel.mesh import (
+    enable_sequence_parallel,
     make_mesh,
-    shard_params,
-    shard_batch,
     param_sharding_rules,
+    sequence_parallel,
+    shard_batch,
+    shard_params,
 )
 
-__all__ = ["make_mesh", "shard_params", "shard_batch", "param_sharding_rules"]
+__all__ = [
+    "enable_sequence_parallel",
+    "make_mesh",
+    "param_sharding_rules",
+    "sequence_parallel",
+    "shard_batch",
+    "shard_params",
+]

@@ -130,3 +130,34 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh, batch_axes: Optional[Dict[str
         else:
             out[k] = jax.device_put(v, repl)
     return out
+
+
+# ------------------------------------------------------------------ #
+# sequence (context) parallelism — see ops/attention.py for the design
+
+
+import contextlib
+
+
+def enable_sequence_parallel(mesh: Optional[Mesh], axis_name: str = "data"):
+    """Enable (mesh) / disable (None) sequence-parallel prefill attention.
+
+    Annotation-free like shard_params: the attention choke points
+    (window / full / causal) become shard_map programs over `axis_name`
+    and GSPMD partitions everything between them from the boundary
+    shardings — runner/trainer code is unchanged. The sequence length must
+    divide by the axis size (and window shards by the window size) or the
+    call falls back to the unsharded path, per call site."""
+    from glimpseprune_tpu.ops.attention import set_sequence_parallel
+
+    set_sequence_parallel(mesh, axis_name)
+
+
+@contextlib.contextmanager
+def sequence_parallel(mesh: Mesh, axis_name: str = "data"):
+    """Context-manager form of enable_sequence_parallel."""
+    enable_sequence_parallel(mesh, axis_name)
+    try:
+        yield
+    finally:
+        enable_sequence_parallel(None)
