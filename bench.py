@@ -749,9 +749,54 @@ def run_serving_continuous(scale: str):
     }
 
 
+def _assert_device_reachable(timeout_s: int = 180):
+    """Fail fast (clear stderr + exit 1) instead of hanging the driver when
+    the TPU tunnel is wedged: device init runs in a kill-able subprocess (an
+    in-process jax import that hangs cannot be interrupted portably)."""
+    import subprocess
+
+    if os.environ.get("BENCH_SKIP_DEVICE_PROBE"):
+        return
+    # The child re-asserts the requested platform via jax.config.update:
+    # on this machine the axon plugin ignores JAX_PLATFORMS=cpu env alone
+    # and its backend init hangs when the tunnel is down, so a CPU-pinned
+    # run must never let the plugin initialize (same dance as
+    # tests/conftest.py).
+    child = (
+        "import os, jax; "
+        "plat = (os.environ.get('JAX_PLATFORMS') or '').lower(); "
+        "plat and jax.config.update('jax_platforms', plat); "
+        "import jax.numpy as jnp; "
+        "x = jnp.ones((256, 256), jnp.bfloat16); "
+        "print(float((x @ x).sum()))"
+    )
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", child],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        ok = p.returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        sys.stderr.write(
+            f"bench: device unreachable (probe failed/timed out after "
+            f"{timeout_s}s) — the TPU tunnel is likely down; aborting "
+            "instead of hanging\n")
+        raise SystemExit(1)
+
+
 def main():
     # default = the reference's flagship 7B (int8 so it fits one chip);
-    # fall back through smaller shapes on tunnel/compile failures
+    # fall back through smaller shapes on tunnel/compile failures.
+    # Honor a JAX_PLATFORMS=cpu request via jax.config: the axon TPU plugin
+    # ignores the env var alone (CLAUDE.md / tests/conftest.py dance).
+    plat = (os.environ.get("JAX_PLATFORMS") or "").lower()
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    _assert_device_reachable()
     scale = os.environ.get("BENCH_SCALE", "7b")
     if scale == "7b" and not os.environ.get("BENCH_QUANT"):
         os.environ["BENCH_QUANT"] = "int8"
