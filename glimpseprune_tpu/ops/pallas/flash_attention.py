@@ -51,6 +51,8 @@ def _kernel(
     qpos_ref=None,  # [1, bq] int32 GLOBAL q positions (sequence-parallel /
                     # chunked-prefill shards: causal masking against absolute
                     # slot indices instead of local block offsets)
+    lse_ref=None,   # [1, bq] f32 out: log2-domain logsumexp per q row
+                    # (m2 + log2(l)), emitted for the pallas backward pass
 ):
     iq = pl.program_id(2)
     j = pl.program_id(3)
@@ -164,6 +166,10 @@ def _kernel(
         # rows that never saw an allowed key keep m at the floor -> zero out
         out = jnp.where(m_ref[:] > NEG_INF * 0.5, out, 0.0)
         o_ref[:] = out.astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse = m_ref[:] + jnp.log2(jnp.maximum(l_ref[:], 1e-30))
+            lse = jnp.where(m_ref[:] > NEG_INF * 0.5, lse, NEG_INF)
+            lse_ref[:, :] = lse.reshape(1, bq)
 
 
 def _i8_kernel_adapter(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, qsc_ref,
@@ -197,6 +203,22 @@ def _i8_dense_kernel_adapter(q_ref, k_ref, v_ref, qsc_ref, ksc_ref, o_ref,
     _kernel(None, None, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
             sm_scale=sm_scale, causal=causal, bq=bq, bk=bk, dense=True,
             qsc_ref=qsc_ref, ksc_ref=ksc_ref, pv_int8=pv_int8)
+
+
+def _lse_kernel_adapter(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref,
+                        lse_ref, m_ref, l_ref, acc_ref, *,
+                        sm_scale, causal, bq, bk):
+    _kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
+            acc_ref, sm_scale=sm_scale, causal=causal, bq=bq, bk=bk,
+            dense=False, lse_ref=lse_ref)
+
+
+def _dense_lse_kernel_adapter(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                              m_ref, l_ref, acc_ref, *,
+                              sm_scale, causal, bq, bk):
+    _kernel(None, None, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+            sm_scale=sm_scale, causal=causal, bq=bq, bk=bk, dense=True,
+            lse_ref=lse_ref)
 
 
 def _quant_rows_i8(x):
@@ -258,27 +280,41 @@ def _flash_attention_diff(q, k, v, qseg, kseg, causal, sm_scale, block_q, block_
                                  dense=dense)
 
 
+# "pallas": FlashAttention-2-style backward kernels (O(block) memory, the
+# only path that reaches the reference's 16k-token training regime).
+# "xla": recompute-and-differentiate the einsum reference — exact but
+# materializes [B, Hq, Sq, Skv] f32 logits per layer (debug fallback).
+FLASH_BACKWARD = "pallas"
+
+
+def set_flash_backward(mode: str):
+    global FLASH_BACKWARD
+    assert mode in ("pallas", "xla"), mode
+    FLASH_BACKWARD = mode
+
+
 def _flash_fwd(q, k, v, qseg, kseg, causal, sm_scale, block_q, block_k, interpret,
                dense):
-    out = _flash_attention_impl(q, k, v, qseg, kseg, causal=causal,
-                                sm_scale=sm_scale, block_q=block_q,
-                                block_k=block_k, interpret=interpret,
-                                dense=dense)
-    return out, (q, k, v, qseg, kseg)
+    out, lse = _flash_attention_impl(q, k, v, qseg, kseg, causal=causal,
+                                     sm_scale=sm_scale, block_q=block_q,
+                                     block_k=block_k, interpret=interpret,
+                                     dense=dense, return_lse=True)
+    return out, (q, k, v, qseg, kseg, out, lse)
 
 
 def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, dense, res, g):
-    # recompute-and-differentiate the XLA reference: exact gradients, O(S^2)
-    # logits appear only transiently per layer (the decoder scan remats
-    # layer-by-layer, so training peak stays bounded). A dedicated pallas
-    # backward kernel is the long-sequence upgrade path.
-    q, k, v, qseg, kseg = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _reference_attention(q_, k_, v_, qseg, kseg, causal,
-                                                sm_scale),
-        q, k, v,
-    )
-    dq, dk, dv = vjp(g)
+    q, k, v, qseg, kseg, out, lse = res
+    if FLASH_BACKWARD == "pallas":
+        dq, dk, dv = _flash_bwd_impl(q, k, v, qseg, kseg, out, lse, g,
+                                     causal=causal, sm_scale=sm_scale,
+                                     interpret=interpret)
+    else:
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _reference_attention(q_, k_, v_, qseg, kseg,
+                                                    causal, sm_scale),
+            q, k, v,
+        )
+        dq, dk, dv = vjp(g)
     import numpy as _np
 
     zq = _np.zeros(qseg.shape, dtype=jax.dtypes.float0)
@@ -359,7 +395,7 @@ def flash_attention(
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret",
-                     "dense", "qkv_int8", "pv_int8"),
+                     "dense", "qkv_int8", "pv_int8", "return_lse"),
 )
 def _flash_attention_impl(
     q: jnp.ndarray,       # [B, Hq, Sq, D]
@@ -376,6 +412,7 @@ def _flash_attention_impl(
     qkv_int8: bool = False,
     pv_int8: bool = False,
     q_positions: Optional[jnp.ndarray] = None,  # [B, Sq] int32 global slots
+    return_lse: bool = False,  # also return [B, Hq, Sq] log2-domain LSE
 ) -> jnp.ndarray:
     b, hq, sq, d = q.shape
     hkv = k.shape[1]
@@ -404,18 +441,26 @@ def _flash_attention_impl(
     grid = (b, hq, sq_p // block_q, skv_p // block_k)
     in_specs = []
     args = []
+    if return_lse:
+        assert not (qkv_int8 or q_positions is not None), \
+            "LSE emission (training backward) is bf16/plain-path only"
     if dense:
         # no segment refs at all: the kernel body compiles with zero mask
         # passes
+        if return_lse:
+            base = _dense_lse_kernel_adapter
+        else:
+            base = _i8_dense_kernel_adapter if qkv_int8 else _dense_kernel_adapter
         kernel = functools.partial(
-            _i8_dense_kernel_adapter if qkv_int8 else _dense_kernel_adapter,
-            sm_scale=sm_scale, causal=causal, bq=block_q, bk=block_k,
+            base, sm_scale=sm_scale, causal=causal, bq=block_q, bk=block_k,
         )
         if qkv_int8:
             kernel = functools.partial(kernel, pv_int8=pv_int8)
     else:
         has_qpos = q_positions is not None
-        if has_qpos:
+        if return_lse:
+            base = _lse_kernel_adapter
+        elif has_qpos:
             base = _i8_qpos_kernel_adapter if qkv_int8 else _qpos_kernel_adapter
         else:
             base = _i8_kernel_adapter if qkv_int8 else _kernel
@@ -424,7 +469,7 @@ def _flash_attention_impl(
         )
         if qkv_int8:
             kernel = functools.partial(kernel, pv_int8=pv_int8)
-        elif not has_qpos:
+        elif not has_qpos and not return_lse:
             kernel = functools.partial(kernel, dense=False)
         # seg ids ride as [B, 1, S] so the blocked last-two dims are
         # (1, block): dim -2 equals the array dim (Mosaic allows block==dim),
@@ -466,14 +511,25 @@ def _flash_attention_impl(
                          memory_space=pltpu.VMEM),
         ]
         args += [qscp, kscp]
+    out_specs = pl.BlockSpec(
+        (None, None, block_q, d_p), lambda bi, h, iq, j: (bi, h, iq, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((b, hq, sq_p, d_p), out_dtype)
+    if return_lse:
+        # LSE rides out like the int8 scales ride in: [B, H, 1, Sq]
+        out_specs = [out_specs, pl.BlockSpec(
+            (None, None, 1, block_q), lambda bi, h, iq, j: (bi, h, 0, iq),
+            memory_space=pltpu.VMEM,
+        )]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((b, hq, 1, sq_p), jnp.float32)]
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (None, None, block_q, d_p), lambda bi, h, iq, j: (bi, h, iq, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, hq, sq_p, d_p), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -484,6 +540,9 @@ def _flash_attention_impl(
         ),
         interpret=interpret,
     )(*args)
+    if return_lse:
+        out, lse = out
+        return out[:, :, :sq, :d], lse[:, :, 0, :sq]
     return out[:, :, :sq, :d]
 
 
@@ -491,3 +550,231 @@ def _dense_kernel_adapter(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
                           sm_scale, causal, bq, bk):
     _kernel(None, None, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
             sm_scale=sm_scale, causal=causal, bq=bq, bk=bk, dense=True)
+
+
+# --------------------------------------------------------------------- #
+# FlashAttention-2-style backward pass (two pallas kernels).
+#
+# The forward saves (out, lse2) where lse2 = m2 + log2(l) per q row; the
+# backward recomputes each [bq, bk] probability tile as
+# p = exp2(s * sm_scale * log2(e) - lse2) — exactly the forward's softmax
+# without a second online pass — and applies the standard identities
+#   dV = P^T dO
+#   dS = P o (dO V^T - D),  D = rowsum(dO o O)
+#   dQ = dS K * sm_scale,   dK = dS^T Q * sm_scale
+# O(S^2) appears only as one VMEM tile at a time, replacing the XLA
+# recompute backward whose [B, Hq, S, S] f32 logits capped trainable
+# context far below the reference's 16k-token training regime
+# (train_qwen_gp.py max_pixels=12845056 + flash_attention_2).
+#
+# dK/dV accumulate per *q* head ([B, Hq, Skv, D]) and are group-summed to
+# the GQA [B, Hkv, Skv, D] outside — one extra HBM round trip on dk/dv,
+# traded for revisit-free output blocks in the kernel.
+
+
+def _bwd_tile(qseg_ref, kseg_ref, q_ref, k_ref, do_ref, lse_ref, dsum_ref,
+              sm_scale, causal, bq, bk, iq, jk):
+    """Recompute the masked probability tile p [bq, bk] and ds [bq, bk]."""
+    scale2 = sm_scale * _LOG2E
+    s2 = jax.lax.dot_general(
+        q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale2
+    if qseg_ref is not None:
+        qseg_col = qseg_ref[:, :].reshape(bq, 1)
+        kseg_row = kseg_ref[:, :]
+        allowed = (qseg_col == kseg_row) & (qseg_col >= 0)
+        if causal:
+            q_pos = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+            k_pos = jk * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+            allowed = allowed & (q_pos >= k_pos)
+        s2 = jnp.where(allowed, s2, NEG_INF)
+    elif causal:
+        q_pos = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+        k_pos = jk * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+        s2 = jnp.where(q_pos >= k_pos, s2, NEG_INF)
+    lse_col = lse_ref[:, :].reshape(bq, 1)
+    p = jnp.exp2(s2 - lse_col)
+    # rows that never saw an allowed key carry lse = NEG_INF: p must be 0,
+    # not exp2(NEG_INF - NEG_INF) = 1
+    p = jnp.where(lse_col > NEG_INF * 0.5, p, 0.0)
+    return p
+
+
+def _bwd_dq_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                   dsum_ref, dq_ref, dq_acc, *, sm_scale, causal, bq, bk):
+    iq = pl.program_id(2)
+    jk = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(jk == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    run = jk * bk <= iq * bq + bq - 1 if causal else True
+    if qseg_ref is not None:
+        qs = qseg_ref[:, :]
+        ks = kseg_ref[:, :]
+        run = run & (
+            (jnp.max(qs) >= jnp.min(ks)) & (jnp.max(ks) >= jnp.min(qs))
+            & (jnp.max(qs) >= 0) & (jnp.max(ks) >= 0)
+        )
+
+    @pl.when(run)
+    def _step():
+        p = _bwd_tile(qseg_ref, kseg_ref, q_ref, k_ref, do_ref, lse_ref,
+                      dsum_ref, sm_scale, causal, bq, bk, iq, jk)
+        dp = jax.lax.dot_general(
+            do_ref[:], v_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, bk]
+        ds = p * (dp - dsum_ref[:, :].reshape(bq, 1))
+        dq_acc[:] = dq_acc[:] + jax.lax.dot_general(
+            ds.astype(k_ref.dtype), k_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+
+    @pl.when(jk == nk - 1)
+    def _finish():
+        dq_ref[:] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                    dsum_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                    sm_scale, causal, bq, bk):
+    jk = pl.program_id(2)
+    iq = pl.program_id(3)
+    nq = pl.num_programs(3)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    run = iq * bq + bq - 1 >= jk * bk if causal else True
+    if qseg_ref is not None:
+        qs = qseg_ref[:, :]
+        ks = kseg_ref[:, :]
+        run = run & (
+            (jnp.max(qs) >= jnp.min(ks)) & (jnp.max(ks) >= jnp.min(qs))
+            & (jnp.max(qs) >= 0) & (jnp.max(ks) >= 0)
+        )
+
+    @pl.when(run)
+    def _step():
+        p = _bwd_tile(qseg_ref, kseg_ref, q_ref, k_ref, do_ref, lse_ref,
+                      dsum_ref, sm_scale, causal, bq, bk, iq, jk)
+        dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+            p.astype(do_ref.dtype), do_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bk, D]
+        dp = jax.lax.dot_general(
+            do_ref[:], v_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - dsum_ref[:, :].reshape(bq, 1))
+        dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+            ds.astype(q_ref.dtype), q_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+
+    @pl.when(iq == nq - 1)
+    def _finish():
+        dk_ref[:] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[:] = dv_acc[:].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret"),
+)
+def _flash_bwd_impl(q, k, v, q_segment_ids, kv_segment_ids, out, lse, g,
+                    causal, sm_scale, block_q=512, block_k=512,
+                    interpret=False):
+    """Pallas backward: returns (dq, dk, dv) with dk/dv at GQA [B, Hkv]."""
+    b, hq, sq, d = q.shape
+    hkv = k.shape[1]
+    skv = k.shape[2]
+    group = hq // hkv
+
+    # D = rowsum(dO o O) per q row — one cheap fused XLA pass
+    dsum = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+
+    d_p = d + (-d) % 128
+    sq_p = sq + (-sq) % block_q
+    skv_p = skv + (-skv) % block_k
+    qp = _pad_to(_pad_to(q, 3, 128), 2, block_q)
+    kp = _pad_to(_pad_to(k, 3, 128), 2, block_k)
+    vp = _pad_to(_pad_to(v, 3, 128), 2, block_k)
+    gp = _pad_to(_pad_to(g, 3, 128), 2, block_q)
+    # pad rows mask out via segments; their lse pads to NEG_INF -> p = 0
+    qsp = _pad_to(q_segment_ids.astype(jnp.int32), 1, block_q, value=-1)[:, None, :]
+    ksp = _pad_to(kv_segment_ids.astype(jnp.int32), 1, block_k, value=-2)[:, None, :]
+    lsep = _pad_to(lse.astype(jnp.float32), 2, block_q, value=NEG_INF)[:, :, None, :]
+    dsump = _pad_to(dsum, 2, block_q)[:, :, None, :]
+
+    # ---- dq: grid (b, hq, iq, jk), jk innermost
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, causal=causal,
+                          bq=block_q, bk=block_k),
+        grid=(b, hq, sq_p // block_q, skv_p // block_k),
+        in_specs=[
+            pl.BlockSpec((None, 1, block_q), lambda bi, h, x, y: (bi, 0, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, block_k), lambda bi, h, x, y: (bi, 0, y), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_q, d_p), lambda bi, h, x, y: (bi, h, x, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_k, d_p), lambda bi, h, x, y: (bi, h // group, y, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_k, d_p), lambda bi, h, x, y: (bi, h // group, y, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_q, d_p), lambda bi, h, x, y: (bi, h, x, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, 1, block_q), lambda bi, h, x, y: (bi, h, 0, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, 1, block_q), lambda bi, h, x, y: (bi, h, 0, x), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, None, block_q, d_p), lambda bi, h, x, y: (bi, h, x, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hq, sq_p, d_p), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d_p), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qsp, ksp, qp, kp, vp, gp, lsep, dsump)[:, :, :sq, :d]
+
+    # ---- dk/dv: grid (b, hq, jk, iq), iq innermost
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
+                          bq=block_q, bk=block_k),
+        grid=(b, hq, skv_p // block_k, sq_p // block_q),
+        in_specs=[
+            pl.BlockSpec((None, 1, block_q), lambda bi, h, y, x: (bi, 0, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, block_k), lambda bi, h, y, x: (bi, 0, y), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_q, d_p), lambda bi, h, y, x: (bi, h, x, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_k, d_p), lambda bi, h, y, x: (bi, h // group, y, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_k, d_p), lambda bi, h, y, x: (bi, h // group, y, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_q, d_p), lambda bi, h, y, x: (bi, h, x, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, 1, block_q), lambda bi, h, y, x: (bi, h, 0, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, 1, block_q), lambda bi, h, y, x: (bi, h, 0, x), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, None, block_k, d_p), lambda bi, h, y, x: (bi, h, y, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_k, d_p), lambda bi, h, y, x: (bi, h, y, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, skv_p, d_p), k.dtype),
+            jax.ShapeDtypeStruct((b, hq, skv_p, d_p), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d_p), jnp.float32),
+            pltpu.VMEM((block_k, d_p), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qsp, ksp, qp, kp, vp, gp, lsep, dsump)
+    dk = dk[:, :, :skv, :d]
+    dv = dv[:, :, :skv, :d]
+    if group > 1:
+        # GQA: sum the per-q-head dk/dv over each group
+        dk = dk.reshape(b, hkv, group, skv, d).sum(axis=2)
+        dv = dv.reshape(b, hkv, group, skv, d).sum(axis=2)
+    return dq, dk, dv

@@ -327,3 +327,105 @@ def test_flash_int8_qk_close_to_bf16(causal, dense, pv):
     if not dense:
         # padding rows stay exactly zero through the int8 path
         assert np.abs(np.asarray(i8)[:, :, -17:]).max() == 0.0
+
+
+def test_flash_pallas_backward_matches_reference_bidirectional():
+    """FlashAttention-2-style pallas backward (interpret) == XLA-reference
+    grads on the ViT-like case: bidirectional, multi-segment, padding."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from glimpseprune_tpu.ops.pallas.flash_attention import (
+        _reference_attention,
+        flash_attention,
+    )
+
+    rng = np.random.default_rng(5)
+    B, H, S, D = 1, 2, 512, 32
+    q = jnp.asarray(rng.normal(size=(B, H, S, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, S, D)), jnp.float32)
+    seg = np.zeros((B, S), np.int32)
+    seg[:, 200:420] = 1
+    seg[:, 420:] = -1  # padding tail
+    seg = jnp.asarray(seg)
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, seg, seg, causal=False,
+                                interpret=True, block_q=128, block_k=128)
+                * jnp.cos(jnp.arange(D))).sum()
+
+    def loss_ref(q, k, v):
+        return (_reference_attention(q, k, v, seg, seg, False, D ** -0.5)
+                * jnp.cos(jnp.arange(D))).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_flash_pallas_backward_dense_and_rectangular():
+    """Backward through the dense fast path and a rectangular Sq != Skv."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from glimpseprune_tpu.ops.pallas.flash_attention import (
+        _reference_attention,
+        flash_attention,
+    )
+
+    rng = np.random.default_rng(6)
+    B, Hq, Hkv, D = 1, 4, 2, 32
+    Sq, Skv = 256, 512
+    q = jnp.asarray(rng.normal(size=(B, Hq, Sq, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, Skv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, Skv, D)), jnp.float32)
+    segq = jnp.zeros((B, Sq), jnp.int32)
+    segk = jnp.zeros((B, Skv), jnp.int32)
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, segq, segk, causal=False,
+                                interpret=True, block_q=128, block_k=128,
+                                dense=True) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (_reference_attention(q, k, v, segq, segk, False,
+                                     D ** -0.5) ** 2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_flash_backward_mode_toggle():
+    """set_flash_backward("xla") reproduces the old recompute backward;
+    both modes agree (same math, different schedule)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import importlib
+
+    fa = importlib.import_module("glimpseprune_tpu.ops.pallas.flash_attention")
+
+    rng = np.random.default_rng(7)
+    B, H, S, D = 1, 2, 640, 32
+    q = jnp.asarray(rng.normal(size=(B, H, S, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, S, D)), jnp.float32)
+    seg = jnp.zeros((B, S), jnp.int32).at[:, -100:].set(-1)
+
+    def loss(q, k, v):
+        return (fa.flash_attention(q, k, v, seg, seg, causal=True,
+                                   interpret=True) ** 2).sum()
+
+    try:
+        fa.set_flash_backward("pallas")
+        gp = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        fa.set_flash_backward("xla")
+        gx = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        fa.set_flash_backward("pallas")
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
