@@ -84,3 +84,38 @@ def test_continuous_overrun_guard():
         raise AssertionError("expected schedule-bound ValueError")
     except ValueError as e:
         assert "overrun" in str(e)
+
+
+def test_continuous_matches_generate_on_mesh():
+    """Multi-chip serving: the batcher's greedy tokens over TP-sharded
+    params (+ SP enabled for the prefill) equal the single-device
+    generate() — serving on a pod slice is the same pure re-arrangement."""
+    from glimpseprune_tpu.parallel import make_mesh, sequence_parallel, shard_params
+
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(3)
+    prep, _ = build_batch(cfg, rng, with_labels=False)
+    _, params = init_params(cfg, prep)
+    base = GlimpsePruneRunner(cfg, params).generate(prep, max_new_tokens=6)
+
+    mesh = make_mesh(8, model_axis=2)
+    runner = GlimpsePruneRunner(cfg, shard_params(params, mesh))
+    dev_inputs = runner._device_inputs(prep, use_ref_masks=False)
+
+    with sequence_parallel(mesh):
+        def prefill():
+            o = runner._prefill({"params": runner.params}, dev_inputs,
+                                out_len=prep.out_len, use_ref_masks=False)
+            return (o.logits[:1], o.valid[:1], o.position_ids[:, :1],
+                    o.kv_k[:, :1], o.kv_v[:, :1])
+
+        R = int(prefill()[1].shape[1])
+        b = ContinuousBatcher(runner, capacity=2, prefix_len=R,
+                              max_new_tokens=6, inter_steps=2,
+                              eos=-1, max_requests=2)
+        seqs, n_gen, ttft, completion = b.serve([prefill] * 2)
+
+    expect = np.asarray(base.sequences)[0]
+    for i in range(2):
+        np.testing.assert_array_equal(seqs[i], expect[: seqs.shape[1]])
+    assert (n_gen == 6).all()
