@@ -445,6 +445,11 @@ class GlimpsePruneRunner:
         self.model = model if model is not None else Qwen2_5_VL_GP(cfg, dtype=dtype)
         self.params = params
         self.dtype = dtype
+        # sequence_parallel binds at trace time: remember the setting this
+        # runner's phases will trace under, to warn on later divergence
+        from glimpseprune_tpu.ops.attention import get_sequence_parallel
+
+        self._sp_ctx_at_init = get_sequence_parallel()
 
         self._vision = jax.jit(
             lambda p, *a, dense_attn=False: self.model.apply(
@@ -857,6 +862,16 @@ class GlimpsePruneRunner:
         its output is trimmed BEFORE the matched sequence (the reference's
         callers strip the stop string with outputs.split(stop_str)[0],
         infer_cot.py-style); plain eos is still trimmed inclusively."""
+        from glimpseprune_tpu.ops.attention import get_sequence_parallel
+
+        if get_sequence_parallel() is not self._sp_ctx_at_init:
+            import warnings
+
+            warnings.warn(
+                "sequence_parallel changed after this runner was built; "
+                "already-traced phases keep the old setting (jit caches "
+                "bind it at trace time) — construct the runner inside the "
+                "intended sequence_parallel context", stacklevel=2)
         cfg = self.cfg
         eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
         B = prep.input_ids.shape[0]

@@ -9,6 +9,7 @@ nonnegative) — the TPU-friendly encoding of the reference's cu_seqlens loops
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -61,9 +62,26 @@ _SP_CTX: Optional[tuple] = None  # (Mesh, axis_name)
 def set_sequence_parallel(mesh, axis_name: str = "data"):
     """Enable (mesh given) / disable (None) sequence-parallel attention.
 
-    Use parallel.sequence_parallel(...) for the context-manager form."""
+    Use parallel.sequence_parallel(...) for the context-manager form.
+
+    The setting binds at TRACE time: a function jitted while SP was off
+    keeps its cached non-SP executable afterwards (and vice versa) — set
+    SP before constructing the runner / tracing the step function.
+    GlimpsePruneRunner warns if the setting changes under it."""
     global _SP_CTX
-    _SP_CTX = None if mesh is None else (mesh, axis_name)
+    if mesh is None:
+        _SP_CTX = None
+        return
+    assert axis_name in mesh.shape, (
+        f"sequence_parallel axis {axis_name!r} not in mesh axes "
+        f"{tuple(mesh.shape)}"
+    )
+    _SP_CTX = (mesh, axis_name)
+
+
+def get_sequence_parallel() -> Optional[tuple]:
+    """The active (mesh, axis_name) SP context, or None."""
+    return _SP_CTX
 
 
 def _sp_split(total: int, multiple: int = 1):
@@ -78,11 +96,95 @@ def _sp_split(total: int, multiple: int = 1):
     return mesh, axis, n
 
 
-def _sp_shard_map(fn, mesh, axis, in_specs, out_specs):
-    # jit wrapper: partial-manual shard_map (axis_names ⊂ mesh axes) only
-    # traces under jit (the eager path rejects specs over the auto axes).
-    # Inside the runner's jitted phases this inlines into the outer trace;
-    # only direct eager calls (unit tests) pay a per-call compile.
+# Module-level shard_map bodies (bound statics lead) + a cached jit
+# factory: the jit cache is per function OBJECT, so building
+# jit(shard_map(closure)) per call would recompile every eager call
+# (CLAUDE.md rule). One jitted program is cached per (kind, mesh, axis,
+# statics); inside the runner's jitted phases it inlines into the outer
+# trace either way. The jit wrapper itself exists because partial-manual
+# shard_map (axis_names a strict subset of the mesh axes) only traces
+# under jit — the eager path rejects specs over the auto axes.
+
+
+def _sp_segment_local(use_flash, interpret, dense, int8_qk, int8_pv, axis,
+                      q, k, v, seg):
+    kg = jax.lax.all_gather(k, axis, axis=0, tiled=True)
+    vg = jax.lax.all_gather(v, axis, axis=0, tiled=True)
+    sg = jax.lax.all_gather(seg, axis, axis=0, tiled=True)
+    if use_flash:
+        from glimpseprune_tpu.ops.pallas.flash_attention import flash_attention
+
+        out = flash_attention(
+            q.transpose(1, 0, 2)[None], kg.transpose(1, 0, 2)[None],
+            vg.transpose(1, 0, 2)[None], seg[None], sg[None],
+            causal=False, interpret=interpret, dense=dense,
+            qkv_int8=int8_qk, pv_int8=int8_qk and int8_pv,
+        )
+        return out[0].transpose(1, 0, 2)
+    allowed = (seg[:, None] == sg[None, :]) & (sg >= 0)[None, :]
+    # the XLA path's pad-row self-attention, on GLOBAL indices
+    sl = q.shape[0]
+    gidx = jax.lax.axis_index(axis) * sl + jnp.arange(sl)
+    eye = gidx[:, None] == jnp.arange(sg.shape[0])[None, :]
+    allowed = allowed | eye
+    out = _softmax_attend(q.transpose(1, 0, 2)[None],
+                          kg.transpose(1, 0, 2)[None],
+                          vg.transpose(1, 0, 2)[None],
+                          allowed[None, None])
+    return out[0].transpose(1, 0, 2)
+
+
+def _sp_causal_local(use_flash, interpret, int8_qk, int8_pv, axis,
+                     q, k, v, valid_q):
+    kg = jax.lax.all_gather(k, axis, axis=1, tiled=True)
+    vg = jax.lax.all_gather(v, axis, axis=1, tiled=True)
+    vgl = jax.lax.all_gather(valid_q, axis, axis=1, tiled=True)
+    sl = q.shape[1]
+    qpos = jax.lax.axis_index(axis) * sl + jnp.arange(sl)
+    if use_flash:
+        from glimpseprune_tpu.ops.pallas.flash_attention import flash_attention
+
+        seg_q = jnp.where(valid_q, 0, -1).astype(jnp.int32)
+        seg_k = jnp.where(vgl, 0, -1).astype(jnp.int32)
+        out = flash_attention(
+            q.transpose(0, 2, 1, 3), kg.transpose(0, 2, 1, 3),
+            vg.transpose(0, 2, 1, 3), seg_q, seg_k, causal=True,
+            interpret=interpret,
+            qkv_int8=int8_qk, pv_int8=int8_qk and int8_pv,
+            q_positions=jnp.broadcast_to(qpos, (q.shape[0], sl)),
+        )
+        return out.transpose(0, 2, 1, 3)
+    t = kg.shape[1]
+    hq = q.shape[2]
+    causal = qpos[:, None] >= jnp.arange(t)[None, :]  # [sl, T]
+    allowed = causal[None] & vgl[:, None, :]  # [B, sl, T]
+    out = _softmax_attend(q.transpose(0, 2, 1, 3), _expand_kv(kg, hq),
+                          _expand_kv(vg, hq), allowed[:, None])
+    return out.transpose(0, 2, 1, 3)
+
+
+def _sp_window_local(wp, q, k, v, valid):
+    return _batched_window_attention_impl(q, k, v, valid, wp)
+
+
+def _sp_fused_local(wp, qkv, cos, sin, valid):
+    return _fused_window_attention_impl(qkv, cos, sin, valid, wp)
+
+
+@functools.lru_cache(maxsize=128)
+def _sp_jit(kind: str, mesh, axis: str, statics: tuple):
+    if kind == "segment":
+        fn = functools.partial(_sp_segment_local, *statics, axis)
+        in_specs, out_specs = (P(axis),) * 4, P(axis)
+    elif kind == "causal":
+        fn = functools.partial(_sp_causal_local, *statics, axis)
+        in_specs, out_specs = (P(None, axis),) * 4, P(None, axis)
+    elif kind == "window":
+        fn = functools.partial(_sp_window_local, *statics)
+        in_specs, out_specs = (P(axis),) * 4, P(axis)
+    else:  # fused
+        fn = functools.partial(_sp_fused_local, *statics)
+        in_specs, out_specs = (P(axis),) * 4, P(axis)
     return jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
                                  out_specs=out_specs, axis_names={axis},
                                  check_vma=False))
@@ -137,43 +239,10 @@ def segment_attention(
     sp = _sp_split(q.shape[0])
     if sp is not None:
         mesh, axis, n = sp
-        use_flash = _use_flash(q.shape[0])  # decide on the GLOBAL length
-
-        def local(q, k, v, seg):
-            kg = jax.lax.all_gather(k, axis, axis=0, tiled=True)
-            vg = jax.lax.all_gather(v, axis, axis=0, tiled=True)
-            sg = jax.lax.all_gather(seg, axis, axis=0, tiled=True)
-            if use_flash:
-                from glimpseprune_tpu.ops.pallas.flash_attention import (
-                    flash_attention,
-                )
-
-                out = flash_attention(
-                    q.transpose(1, 0, 2)[None], kg.transpose(1, 0, 2)[None],
-                    vg.transpose(1, 0, 2)[None], seg[None], sg[None],
-                    causal=False,
-                    interpret=ATTENTION_IMPL == "flash_interpret",
-                    dense=False,
-                    qkv_int8=int8_qk, pv_int8=int8_qk and int8_pv,
-                )
-                return out[0].transpose(1, 0, 2)
-            allowed = (seg[:, None] == sg[None, :]) & (sg >= 0)[None, :]
-            # the XLA path's pad-row self-attention, on GLOBAL indices
-            sl = q.shape[0]
-            gidx = jax.lax.axis_index(axis) * sl + jnp.arange(sl)
-            eye = gidx[:, None] == jnp.arange(sg.shape[0])[None, :]
-            allowed = allowed | eye
-            qb = q.transpose(1, 0, 2)[None]
-            out = _softmax_attend(qb, kg.transpose(1, 0, 2)[None],
-                                  vg.transpose(1, 0, 2)[None],
-                                  allowed[None, None])
-            return out[0].transpose(1, 0, 2)
-
-        return _sp_shard_map(
-            local, mesh, axis,
-            in_specs=(P(axis), P(axis), P(axis), P(axis)),
-            out_specs=P(axis),
-        )(q, k, v, segment_ids)
+        statics = (_use_flash(q.shape[0]),  # decide on the GLOBAL length
+                   ATTENTION_IMPL == "flash_interpret", dense,
+                   int8_qk, int8_pv)
+        return _sp_jit("segment", mesh, axis, statics)(q, k, v, segment_ids)
     if _use_flash(q.shape[0]):
         from glimpseprune_tpu.ops.pallas.flash_attention import flash_attention
 
@@ -215,13 +284,7 @@ def batched_window_attention(
     sp = _sp_split(q.shape[0], multiple=wp)
     if sp is not None:
         mesh, axis, _ = sp
-        return _sp_shard_map(
-            lambda q_, k_, v_, val_: _batched_window_attention_impl(
-                q_, k_, v_, val_, wp),
-            mesh, axis,
-            in_specs=(P(axis), P(axis), P(axis), P(axis)),
-            out_specs=P(axis),
-        )(q, k, v, valid)
+        return _sp_jit("window", mesh, axis, (wp,))(q, k, v, valid)
     return _batched_window_attention_impl(q, k, v, valid, wp)
 
 
@@ -273,13 +336,7 @@ def fused_window_attention(
     sp = _sp_split(qkv.shape[0], multiple=wp)
     if sp is not None:
         mesh, axis, _ = sp
-        return _sp_shard_map(
-            lambda qkv_, c_, s_, val_: _fused_window_attention_impl(
-                qkv_, c_, s_, val_, wp),
-            mesh, axis,
-            in_specs=(P(axis), P(axis), P(axis), P(axis)),
-            out_specs=P(axis),
-        )(qkv, cos, sin, valid)
+        return _sp_jit("fused", mesh, axis, (wp,))(qkv, cos, sin, valid)
     return _fused_window_attention_impl(qkv, cos, sin, valid, wp)
 
 
@@ -322,43 +379,9 @@ def causal_segment_attention(
     sp = _sp_split(s)
     if sp is not None:
         mesh, axis, n = sp
-        use_flash = _use_flash(s)  # decide on the GLOBAL length
-
-        def local(q, k, v, valid_q):
-            kg = jax.lax.all_gather(k, axis, axis=1, tiled=True)
-            vg = jax.lax.all_gather(v, axis, axis=1, tiled=True)
-            vgl = jax.lax.all_gather(valid_q, axis, axis=1, tiled=True)
-            sl = q.shape[1]
-            qpos = jax.lax.axis_index(axis) * sl + jnp.arange(sl)
-            if use_flash:
-                from glimpseprune_tpu.ops.pallas.flash_attention import (
-                    flash_attention,
-                )
-
-                seg_q = jnp.where(valid_q, 0, -1).astype(jnp.int32)
-                seg_k = jnp.where(vgl, 0, -1).astype(jnp.int32)
-                out = flash_attention(
-                    q.transpose(0, 2, 1, 3), kg.transpose(0, 2, 1, 3),
-                    vg.transpose(0, 2, 1, 3), seg_q, seg_k, causal=True,
-                    interpret=ATTENTION_IMPL == "flash_interpret",
-                    qkv_int8=int8_qk, pv_int8=int8_qk and int8_pv,
-                    q_positions=jnp.broadcast_to(qpos, (q.shape[0], sl)),
-                )
-                return out.transpose(0, 2, 1, 3)
-            t = kg.shape[1]
-            causal = qpos[:, None] >= jnp.arange(t)[None, :]  # [sl, T]
-            allowed = causal[None] & vgl[:, None, :]  # [B, sl, T]
-            qb = q.transpose(0, 2, 1, 3)
-            kb = _expand_kv(kg, hq)
-            vb = _expand_kv(vg, hq)
-            out = _softmax_attend(qb, kb, vb, allowed[:, None])
-            return out.transpose(0, 2, 1, 3)
-
-        return _sp_shard_map(
-            local, mesh, axis,
-            in_specs=(P(None, axis), P(None, axis), P(None, axis), P(None, axis)),
-            out_specs=P(None, axis),
-        )(q, k, v, valid)
+        statics = (_use_flash(s),  # decide on the GLOBAL length
+                   ATTENTION_IMPL == "flash_interpret", int8_qk, int8_pv)
+        return _sp_jit("causal", mesh, axis, statics)(q, k, v, valid)
     if _use_flash(s):
         from glimpseprune_tpu.ops.pallas.flash_attention import flash_attention
 

@@ -288,6 +288,10 @@ FLASH_BACKWARD = "pallas"
 
 
 def set_flash_backward(mode: str):
+    """Select the flash vjp implementation ("pallas" | "xla").
+
+    Binds at TRACE time: an already-jitted step function keeps the backward
+    it was traced with — retrace (new jit / new shapes) to switch."""
     global FLASH_BACKWARD
     assert mode in ("pallas", "xla"), mode
     FLASH_BACKWARD = mode
@@ -572,27 +576,26 @@ def _dense_kernel_adapter(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
 # traded for revisit-free output blocks in the kernel.
 
 
-def _bwd_tile(qseg_ref, kseg_ref, q_ref, k_ref, do_ref, lse_ref, dsum_ref,
+def _bwd_tile(qseg_ref, kseg_ref, q_ref, k_ref, lse_ref,
               sm_scale, causal, bq, bk, iq, jk):
-    """Recompute the masked probability tile p [bq, bk] and ds [bq, bk]."""
+    """Recompute the masked probability tile p [bq, bk] from (q, k, lse).
+
+    Both backward kernels always pass segment refs (the dense forward's
+    zero-segment wrapper arrays mask nothing), so there is no seg-less
+    variant here."""
     scale2 = sm_scale * _LOG2E
     s2 = jax.lax.dot_general(
         q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale2
-    if qseg_ref is not None:
-        qseg_col = qseg_ref[:, :].reshape(bq, 1)
-        kseg_row = kseg_ref[:, :]
-        allowed = (qseg_col == kseg_row) & (qseg_col >= 0)
-        if causal:
-            q_pos = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
-            k_pos = jk * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
-            allowed = allowed & (q_pos >= k_pos)
-        s2 = jnp.where(allowed, s2, NEG_INF)
-    elif causal:
+    qseg_col = qseg_ref[:, :].reshape(bq, 1)
+    kseg_row = kseg_ref[:, :]
+    allowed = (qseg_col == kseg_row) & (qseg_col >= 0)
+    if causal:
         q_pos = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
         k_pos = jk * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
-        s2 = jnp.where(q_pos >= k_pos, s2, NEG_INF)
+        allowed = allowed & (q_pos >= k_pos)
+    s2 = jnp.where(allowed, s2, NEG_INF)
     lse_col = lse_ref[:, :].reshape(bq, 1)
     p = jnp.exp2(s2 - lse_col)
     # rows that never saw an allowed key carry lse = NEG_INF: p must be 0,
@@ -622,8 +625,8 @@ def _bwd_dq_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
     @pl.when(run)
     def _step():
-        p = _bwd_tile(qseg_ref, kseg_ref, q_ref, k_ref, do_ref, lse_ref,
-                      dsum_ref, sm_scale, causal, bq, bk, iq, jk)
+        p = _bwd_tile(qseg_ref, kseg_ref, q_ref, k_ref, lse_ref,
+                      sm_scale, causal, bq, bk, iq, jk)
         dp = jax.lax.dot_general(
             do_ref[:], v_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -662,8 +665,8 @@ def _bwd_dkv_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
     @pl.when(run)
     def _step():
-        p = _bwd_tile(qseg_ref, kseg_ref, q_ref, k_ref, do_ref, lse_ref,
-                      dsum_ref, sm_scale, causal, bq, bk, iq, jk)
+        p = _bwd_tile(qseg_ref, kseg_ref, q_ref, k_ref, lse_ref,
+                      sm_scale, causal, bq, bk, iq, jk)
         dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
             p.astype(do_ref.dtype), do_ref[:], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,

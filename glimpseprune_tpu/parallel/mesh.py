@@ -155,9 +155,16 @@ def enable_sequence_parallel(mesh: Optional[Mesh], axis_name: str = "data"):
 
 @contextlib.contextmanager
 def sequence_parallel(mesh: Mesh, axis_name: str = "data"):
-    """Context-manager form of enable_sequence_parallel."""
+    """Context-manager form of enable_sequence_parallel; restores the
+    previously-active SP context (not necessarily "off") on exit."""
+    from glimpseprune_tpu.ops.attention import get_sequence_parallel
+
+    prev = get_sequence_parallel()
     enable_sequence_parallel(mesh, axis_name)
     try:
         yield
     finally:
-        enable_sequence_parallel(None)
+        if prev is None:
+            enable_sequence_parallel(None)
+        else:
+            enable_sequence_parallel(prev[0], prev[1])

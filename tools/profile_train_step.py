@@ -145,6 +145,17 @@ def main():
               f"output={mem.output_size_in_bytes / gb:.2f} GB  "
               f"alias={mem.alias_size_in_bytes / gb:.2f} GB")
 
+    # tunnel RTT: the scalar-readback sync pays one round trip per timed
+    # call (CLAUDE.md timing protocol) — measure and subtract it
+    trivial = jax.jit(lambda x: x + 1)
+    float(trivial(jnp.zeros(8))[0])  # compile + warm
+    rtts = []
+    for i in range(6):  # perturb each probe: identical calls cache-serve
+        t0 = time.time()
+        float(trivial(jnp.full((8,), float(i + 1)))[0])
+        rtts.append(time.time() - t0)
+    rtt = min(rtts)
+
     key = jax.random.PRNGKey(1)
     times = []
     for i in range(args.steps):
@@ -152,11 +163,11 @@ def main():
         t0 = time.time()
         state, metrics = step_fn(state, frozen, batch, sub)
         loss = float(metrics["loss"])  # sync: read one scalar back
-        times.append(time.time() - t0)
+        times.append(time.time() - t0 - rtt)
         print(f"step {i}: {times[-1]:.3f}s loss={loss:.4f}")
     steady = times[1:] or times
-    print(f"steady step: {min(steady):.3f}s (median {sorted(steady)[len(steady)//2]:.3f}s) "
-          f"at {n_img_tokens} visual tokens")
+    print(f"steady step: {min(steady):.3f}s (median {sorted(steady)[len(steady)//2]:.3f}s, "
+          f"rtt {rtt * 1e3:.0f}ms subtracted) at {n_img_tokens} visual tokens")
 
 
 if __name__ == "__main__":
