@@ -158,18 +158,24 @@ def _layer_decode(cfg: TextConfig, pl, l, x, cos, sin, k_cache, v_cache,
 
 def harvest_postprocess(
     raw_row: jnp.ndarray,       # [B, S, Hq] raw scaled logits
-    q_index: jnp.ndarray,       # [B]
+    q_index: jnp.ndarray,       # [B]  (row selection happens upstream)
     valid: jnp.ndarray,         # [B, S]
     use_attention_logits: bool,
 ) -> jnp.ndarray:
-    """Reference harvest semantics (model_gp.py:487-496): raw logits, or the
-    masked log-softmax row whose normalization spans all non-masked keys."""
+    """Reference harvest semantics — the PRODUCTION (flash-attn) path's
+    `_cal_attn_weights` (model_gp.py:582-605): raw logits, or the log-softmax
+    row masked by the PAD mask only. No causal term: the reference adds just
+    `convert_2d_to_4d_mask(attention_mask)` to the extracted q row, so in the
+    SFT/labels mode (glimpse token inserted BEFORE the answer,
+    _append_le:1136-1158) the answer keys after the glimpse slot participate
+    in the normalization. Identical to a causal-to-q normalization whenever
+    the glimpse token is last (every inference path); differential-tested in
+    both placements. (The reference's sdpa variant :487-496 DOES apply a
+    causal row, but it crashes upstream and never runs — see
+    tests/reference_shim.py note 6.)"""
     if use_attention_logits:
         return raw_row
-    s = raw_row.shape[1]
-    causal_row = jnp.arange(s)[None, :] <= q_index[:, None]
-    allowed = valid & causal_row
-    logits = jnp.where(allowed[..., None], raw_row, -jnp.inf)
+    logits = jnp.where(valid[..., None], raw_row, -jnp.inf)
     return jax.nn.log_softmax(logits, axis=1)
 
 

@@ -21,7 +21,7 @@ def dice_loss(
     mask_logits: jnp.ndarray,  # [B, N]
     target: jnp.ndarray,       # [B, N] bool/0-1
     valid: jnp.ndarray,        # [B, N]
-    smooth: float = 1.0,
+    smooth: float = 1e-6,      # reference DiceLoss epsilon (train_qwen_gp.py:240)
 ) -> jnp.ndarray:
     probs = jax.nn.sigmoid(mask_logits.astype(jnp.float32))
     probs = jnp.where(valid, probs, 0.0)
@@ -43,7 +43,12 @@ def bce_loss(
     # numerically stable BCE-with-logits
     per = jnp.maximum(x, 0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x)))
     per = jnp.where(valid, per, 0.0)
-    return per.sum() / jnp.maximum(valid.sum(), 1)
+    # per-SAMPLE mean over that row's tokens, then batch mean — the
+    # reference BCELoss averages each sample's F.binary_cross_entropy
+    # (train_qwen_gp.py:296-313); a global valid-count mean would weight
+    # rows by image size
+    per_row = per.sum(-1) / jnp.maximum(valid.sum(-1), 1)
+    return per_row.mean()
 
 
 @LOSSES.register("mask")

@@ -90,7 +90,9 @@ def make_train_step(
 
         target = batch["ref_token_masks"]
         img_valid = batch["img_valid"]
-        # deep supervision: average the mask loss over every emitted layer
+        # deep supervision: the reference SUMS the per-layer mask losses
+        # (train_qwen_gp.py:1474-1478 `loc_loss += loc_loss_per_layer`) —
+        # no layer-count average
         n_out = mask_logits.shape[0]
         loc = 0.0
         for i in range(n_out):
@@ -98,7 +100,6 @@ def make_train_step(
                 mask_logits[i], target, img_valid,
                 dice_weight=dice_weight, bce_weight=bce_weight,
             )
-        loc = loc / n_out
 
         if le_loss is None:
             le_loss = jnp.float32(0.0)

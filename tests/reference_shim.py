@@ -332,3 +332,52 @@ def export_new_modules_state(model):
         state["le_proj"] = model.le_proj.state_dict()
         state["le_norm"] = model.le_norm.state_dict()
     return state
+
+
+_TRAIN_MOD = None
+
+
+def load_reference_train():
+    """Import the reference's train_qwen_gp.py (loss classes + trainer args).
+
+    The module imports trl / peft / qwen_vl_utils (and optionally datasets)
+    at module scope; none of those are installed here and none are touched
+    by the loss classes the differential tests exercise, so they are
+    stubbed with inert placeholders. The GP model import seams come from
+    load_reference_gp(). Idempotent.
+    """
+    global _TRAIN_MOD
+    if _TRAIN_MOD is not None:
+        return _TRAIN_MOD
+    import importlib.util
+
+    load_reference_gp()
+
+    def _stub(name, attrs=()):
+        if name in sys.modules:
+            return sys.modules[name]
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        for a in attrs:
+            setattr(m, a, type(a, (), {}))
+        sys.modules[name] = m
+        return m
+
+    trl = _stub("trl", ("ModelConfig", "ScriptArguments", "TrlParser",
+                        "get_peft_config"))
+    trl.models = _stub("trl.models", ("unwrap_model_for_generation",))
+    _stub("peft", ("PeftConfig", "get_peft_model", "PeftModel"))
+    _stub("qwen_vl_utils", ("process_vision_info",))
+    try:
+        import datasets  # noqa: F401
+    except ImportError:
+        _stub("datasets")
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_train_qwen_gp", f"{_REF}/train_qwen_gp.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_train_qwen_gp"] = mod
+    spec.loader.exec_module(mod)
+    _TRAIN_MOD = mod
+    return mod

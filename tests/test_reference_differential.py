@@ -62,10 +62,15 @@ def stacks():
     return cfg, ref_model, runner
 
 
-def make_case(cfg, rng, sizes, pres=None, posts=None):
+def make_case(cfg, rng, sizes, pres=None, posts=None, answers=None):
     """One batch: per-row image size(s); returns (prep, ref_inputs).
 
     sizes[b] is an (h, w) tuple or a list of them (multi-image row).
+    answers (training cases): per-row answer token lists — appended to the
+    sequence, fed as answer_ids to prepare_inputs (which reserves the le
+    slots at the answer start, matching the reference's labels-mode
+    _append_le insertion, model_gp.py:1136-1158), and returned as LEFT-
+    padded `labels` in ref_inputs (-100 off the answer).
     """
     B = len(sizes)
     pres = pres or [[int(x) for x in rng.integers(5, 400, int(rng.integers(2, 6)))] for _ in range(B)]
@@ -86,25 +91,33 @@ def make_case(cfg, rng, sizes, pres=None, posts=None):
             prompt += [cfg.vision_start_token_id, cfg.image_token_id, cfg.vision_end_token_id]
         seq += posts[b]
         prompt += posts[b]
+        if answers is not None:
+            seq = seq + list(answers[b])
         seqs.append(seq)
         prompts.append(prompt)
         images.append(row_imgs if isinstance(sz, list) else row_imgs[0])
 
-    prep = prepare_inputs(cfg, prompts, images, seq_multiple=8, patch_multiple=16)
+    prep = prepare_inputs(cfg, prompts, images, answer_ids=answers,
+                          seq_multiple=8, patch_multiple=16)
 
     # reference side: LEFT padding (model_gp.py _check_padding_side)
     S = max(len(s) for s in seqs)
     input_ids = np.full((B, S), cfg.pad_token_id, dtype=np.int64)
     attn = np.zeros((B, S), dtype=np.int64)
+    labels = np.full((B, S), -100, dtype=np.int64)
     for b, s in enumerate(seqs):
         input_ids[b, S - len(s):] = s
         attn[b, S - len(s):] = 1
+        if answers is not None and len(answers[b]):
+            labels[b, S - len(answers[b]):] = answers[b]
     ref_inputs = dict(
         input_ids=torch.tensor(input_ids),
         attention_mask=torch.tensor(attn),
         pixel_values=torch.tensor(np.concatenate(all_patches, axis=0)),
         image_grid_thw=torch.tensor(np.stack(all_grids, axis=0)),
     )
+    if answers is not None:
+        ref_inputs["labels"] = torch.tensor(labels)
     return prep, ref_inputs
 
 
