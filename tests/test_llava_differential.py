@@ -96,11 +96,15 @@ def stacks():
     return cfg, cc, ref_model, runner
 
 
-def make_case(cfg, cc, rng, n_rows, pres=None, posts=None):
+def make_case(cfg, cc, rng, n_rows, pres=None, posts=None, answers=None):
     """One batch of n_rows single-image prompts with per-row text lengths.
 
     Returns (our PreparedInputs, reference inputs dict). Pixels go through
-    the SAME square-pad+resize+normalize on both sides."""
+    the SAME square-pad+resize+normalize on both sides. answers (training
+    cases): appended to the sequence, fed as answer_ids to
+    prepare_llava_inputs (le slots at the answer start) and returned as
+    raw-marker-layout `labels` in ref_inputs (the fork expands labels
+    alongside the ids in prepare_inputs_labels_for_multimodal)."""
     B = n_rows
     pres = pres or [
         [int(x) for x in rng.integers(5, 400, int(rng.integers(2, 6)))]
@@ -114,16 +118,22 @@ def make_case(cfg, cc, rng, n_rows, pres=None, posts=None):
               for h, w in sizes]
 
     prompts = [pres[b] + [cfg.image_token_id] + posts[b] for b in range(B)]
-    prep = prepare_llava_inputs(cfg, cc, prompts, images, seq_multiple=8)
+    prep = prepare_llava_inputs(cfg, cc, prompts, images,
+                                answer_ids=answers, seq_multiple=8)
 
     # reference side: raw marker rows, LEFT padding
-    rows = [pres[b] + [IMAGE_TOKEN_INDEX] + posts[b] for b in range(B)]
+    rows = [pres[b] + [IMAGE_TOKEN_INDEX] + posts[b]
+            + (list(answers[b]) if answers is not None else [])
+            for b in range(B)]
     L = max(len(r) for r in rows)
     ids = np.full((B, L), cfg.pad_token_id, dtype=np.int64)
     mask = np.zeros((B, L), dtype=np.int64)
+    labels = np.full((B, L), -100, dtype=np.int64)
     for b, r in enumerate(rows):
         ids[b, L - len(r):] = r
         mask[b, L - len(r):] = 1
+        if answers is not None and len(answers[b]):
+            labels[b, L - len(answers[b]):] = answers[b]
     pixels = np.stack([
         llava_normalize(expand_to_square_and_resize(im, cc.image_size))
         for im in images])
@@ -138,6 +148,8 @@ def make_case(cfg, cc, rng, n_rows, pres=None, posts=None):
         images=torch.tensor(
             pixels.transpose(0, 3, 1, 2), dtype=torch.float32),
     )
+    if answers is not None:
+        ref_inputs["labels"] = torch.tensor(labels)
     return prep, ref_inputs
 
 
@@ -409,3 +421,56 @@ def test_use_zero_masks_parity(stacks):
     # (torch.topk order unspecified) — assert the POLICY outcome
     assert int(np.asarray(ours.keep_img)[0].sum()) == cfg.gp.min_remain_num
     assert int(out.image_token_bool_masks[0].sum()) == cfg.gp.min_remain_num
+
+
+def test_sft_labels_mode_parity(stacks):
+    """Training (labels) mode: the fork inserts the glimpse token at the
+    answer start (_append_le labels branch, llava_llama.py:1041-1082) and
+    harvests under the PAD mask only (_cal_attn_weights :399-424) — answer
+    keys after the glimpse slot join the log-softmax normalization. Mask
+    logits and the le CE must match on shared weights."""
+    import jax.numpy as jnp
+
+    cfg, cc, ref_model, runner = stacks
+    rng = np.random.default_rng(21)
+    answers = [[31, 32, 33], [41, 42, 43]]
+    prep, ref_inputs = make_case(cfg, cc, rng, 2, answers=answers)
+    labels_ref = ref_inputs.pop("labels")
+
+    out = ref_forward(ref_model, ref_inputs, do_selection=True,
+                      delay_selection=True, labels=labels_ref)
+
+    inputs = runner._device_inputs(prep, False)
+    merged, taps = runner.model.apply(
+        {"params": runner.params}, inputs["patches"], inputs["vis_pos_ids"],
+        inputs["full_seg"], inputs["vis_valid"],
+        method=runner.model.vision_encode,
+    )
+    taps = (jnp.stack(taps, axis=0) if taps
+            else jnp.zeros((0,) + merged.shape, dtype=merged.dtype))
+
+    def enc(m):
+        return m.glimpse_encode(
+            input_ids=inputs["input_ids"], valid=inputs["valid"],
+            position_ids=inputs["position_ids"], image_embeds=merged,
+            taps=taps, packed_idx=inputs["packed_idx"],
+            img_slots=inputs["img_slots"], img_valid=inputs["img_valid"],
+            fuser_window_index=inputs["fuser_window_index"],
+            fuser_reverse_index=inputs["fuser_reverse_index"],
+            fuser_segment_ids=inputs["fuser_segment_ids"],
+            fuser_pos_ids=inputs["fuser_pos_ids"],
+            le_start=inputs.get("le_start"),
+            labels=jnp.asarray(prep.labels),
+            training=False,
+        )
+
+    mask_logits, _state, le_loss = runner.model.apply(
+        {"params": runner.params}, method=enc)
+
+    for b in range(2):
+        np.testing.assert_allclose(
+            np.asarray(mask_logits)[:, b],
+            out.image_token_mask_logits[b].numpy(),
+            atol=ATOL_MASK, rtol=0, err_msg=f"row {b} SFT-mode mask logits")
+    np.testing.assert_allclose(float(le_loss), float(out.le_loss),
+                               atol=5e-5, err_msg="le CE loss differs")
