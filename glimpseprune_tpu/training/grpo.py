@@ -98,11 +98,13 @@ def whiten_group_scores(scores: jnp.ndarray, num_generations: int) -> jnp.ndarra
     """Scores [B*G] -> whitened advantages.
 
     Matches the reference exactly (train_qwen_gp.py:1375-1378): subtract the
-    *global* mean of all gathered scores and divide by the global std + 1e-4.
+    *global* mean of all gathered scores and divide by the global UNBIASED
+    std (torch .std() default, ddof=1 — jnp.std's ddof=0 inflates the
+    advantages by sqrt(n/(n-1)); differential-pinned) + 1e-4.
     (Canonical GRPO would center per-G-group; the reference does not.)
     """
     del num_generations  # kept for signature stability; reference is global
-    return (scores - scores.mean()) / (scores.std() + 1e-4)
+    return (scores - scores.mean()) / (scores.std(ddof=1) + 1e-4)
 
 
 def token_logprobs(logits: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:

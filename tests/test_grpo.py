@@ -56,9 +56,11 @@ def test_lora_make_apply():
 def test_whiten_group_scores():
     # reference whitening is GLOBAL mean/std over all gathered scores
     # (train_qwen_gp.py:1375-1378), not per-G-group
+    # std is the torch-default UNBIASED one (ddof=1) — differential-pinned
+    # in test_training_differential.py::test_grpo_losses_match_reference_methods
     scores = jnp.array([1.0, 0.0, 1.0, 1.0])
     adv = np.asarray(whiten_group_scores(scores, 2))
-    expect = (np.asarray(scores) - 0.75) / (np.asarray(scores).std() + 1e-4)
+    expect = (np.asarray(scores) - 0.75) / (np.asarray(scores).std(ddof=1) + 1e-4)
     np.testing.assert_allclose(adv, expect, rtol=1e-5)
     assert adv[1] < 0 < adv[0]  # loser below the global mean
 

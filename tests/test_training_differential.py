@@ -160,3 +160,66 @@ def test_loss_primitives_match_reference_classes(stacks):
     np.testing.assert_allclose(float(dice_loss(jl, jt, jv)), ref_dice, atol=1e-6)
     np.testing.assert_allclose(float(bce_loss(jl, jt, jv)), ref_bce, atol=1e-6)
     np.testing.assert_allclose(float(mask_loss(jl, jt, jv)), ref_mask, atol=1e-6)
+
+
+def test_grpo_losses_match_reference_methods():
+    """GRPO loss surface vs the reference's executable methods: k3 KL
+    (:1402-1421), the -exp(logp - detach)*A surrogate (:1424-1446), and
+    global-whitened advantages (:1377). The trainer methods are invoked on
+    a __new__-constructed instance with just the attributes they read —
+    no accelerator/model needed for the math."""
+    import collections
+    import types as _types
+
+    import jax.numpy as jnp
+
+    from glimpseprune_tpu.training.grpo import (
+        grpo_surrogate,
+        k3_kl,
+        whiten_group_scores,
+    )
+
+    ref_train = load_reference_train()
+    rng = np.random.default_rng(13)
+    B, T = 4, 12
+    lens = [12, 7, 9, 3]
+    logps = rng.normal(size=(B, T)).astype(np.float32) - 2.0
+    ref_logps = logps + rng.normal(size=(B, T)).astype(np.float32) * 0.1
+    adv_scores = rng.normal(size=(B,)).astype(np.float32)
+    mask = np.zeros((B, T), dtype=bool)
+    for b, n in enumerate(lens):
+        mask[b, :n] = True
+
+    trainer = ref_train.GPTrainer.__new__(ref_train.GPTrainer)
+    trainer.args = _types.SimpleNamespace(kd_weight=0.7)
+    trainer.reward_weight = 1.3
+    trainer.num_iterations = 1
+    trainer._metrics = collections.defaultdict(list)
+    trainer.accelerator = _types.SimpleNamespace(
+        gather_for_metrics=lambda x: torch.as_tensor(x).reshape(1))
+
+    completion_logps = [torch.tensor(logps[b, :lens[b]]) for b in range(B)]
+    ref_completion_logps = [torch.tensor(ref_logps[b, :lens[b]]) for b in range(B)]
+    advantages = torch.tensor(
+        np.asarray(whiten_group_scores(jnp.asarray(adv_scores), 2)))
+
+    ref_kd = float(trainer._calculate_kd_loss({
+        "ref_completion_logps": ref_completion_logps,
+        "completion_logps": completion_logps,
+    }))
+    ref_reward = float(trainer._calculate_reward_loss({
+        "completion_logps": completion_logps,
+        "advantages": advantages,
+    }))
+
+    jl, jr, jm = jnp.asarray(logps), jnp.asarray(ref_logps), jnp.asarray(mask)
+    our_kd = 0.7 * float(k3_kl(jl, jr, jm))
+    our_reward = 1.3 * float(grpo_surrogate(jl, jnp.asarray(advantages.numpy()), jm))
+    np.testing.assert_allclose(our_kd, ref_kd, atol=1e-6)
+    np.testing.assert_allclose(our_reward, ref_reward, atol=1e-6)
+
+    # advantages: global mean/std whitening, std + 1e-4 (reference :1377)
+    scores_t = torch.tensor(adv_scores)
+    ref_adv = (scores_t - scores_t.mean()) / (scores_t.std() + 1e-4)
+    np.testing.assert_allclose(np.asarray(advantages), ref_adv.numpy(),
+                               atol=1e-6)
