@@ -52,25 +52,33 @@ def single_choice(queries, gt_resp, pred_resp, **kw) -> List[float]:
 
 
 def extract_one_bbox_from_str(text: str) -> List[float]:
-    """First [x1, y1, x2, y2]-looking list in the text; zeros if none."""
-    m = re.search(r"\[\s*[\d\.]+\s*,\s*[\d\.]+\s*,\s*[\d\.]+\s*,\s*[\d\.]+\s*\]", text or "")
+    """First [x1, y1, x2, y2] integer list in the text; zeros if none.
+
+    The EXACT reference pattern (utils.py:45-57): integers only, no space
+    after '[' or before commas — a looser pattern would extract (and score)
+    boxes the reference's evaluator rejects. Differential-fuzzed in
+    tests/test_evalsuite.py."""
+    m = re.search(r"\[(\d+),\s*(\d+),\s*(\d+),\s*(\d+)\]", text or "")
     if not m:
-        return [0.0, 0.0, 0.0, 0.0]
+        return [0, 0, 0, 0]
     try:
-        return [float(x) for x in ast.literal_eval(m.group(0))]
-    except Exception:
-        return [0.0, 0.0, 0.0, 0.0]
+        return [float(x) for x in m.groups()]
+    except ValueError:
+        return [0, 0, 0, 0]
 
 
 def paired_box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Reference cal_paired_ious math exactly (utils.py:59-85): clamped
+    intersection, UNclamped areas (degenerate/inverted boxes keep their
+    signed area), union + 1e-6."""
     x1 = np.maximum(a[:, 0], b[:, 0])
     y1 = np.maximum(a[:, 1], b[:, 1])
     x2 = np.minimum(a[:, 2], b[:, 2])
     y2 = np.minimum(a[:, 3], b[:, 3])
-    inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
-    area_a = np.clip(a[:, 2] - a[:, 0], 0, None) * np.clip(a[:, 3] - a[:, 1], 0, None)
-    area_b = np.clip(b[:, 2] - b[:, 0], 0, None) * np.clip(b[:, 3] - b[:, 1], 0, None)
-    return inter / np.maximum(area_a + area_b - inter, 1e-9)
+    inter = np.maximum(0, x2 - x1) * np.maximum(0, y2 - y1)
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / (area_a + area_b - inter + 1e-6)
 
 
 @SCORERS.register("one_box_iou05")

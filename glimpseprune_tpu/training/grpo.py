@@ -50,17 +50,33 @@ def one_box_iou_score(queries, answers, completions, **kw) -> List[float]:
         paired_box_iou,
     )
 
+    import ast
+
+    def gt_box(a):
+        # the reference parses the gt side with ast.literal_eval (floats
+        # allowed, train_qwen_gp.py:763), only the PREDICTION goes through
+        # the int-pattern extractor
+        if isinstance(a, (list, tuple)):
+            return list(a)
+        try:
+            return list(ast.literal_eval(str(a)))
+        except (ValueError, SyntaxError):
+            return [0, 0, 0, 0]
+
     pred = np.array([extract_one_bbox_from_str(c) for c in completions])
-    gt = np.array([a if isinstance(a, (list, tuple)) else extract_one_bbox_from_str(str(a))
-                   for a in answers], dtype=np.float64)
+    gt = np.array([gt_box(a) for a in answers], dtype=np.float64)
     return paired_box_iou(pred, gt).tolist()
 
 
 @SCORE_FUNCS.register("one_box_format")
 def one_box_format_score(queries, answers, completions, **kw) -> List[float]:
-    from glimpseprune_tpu.evalsuite.scorers import extract_one_bbox_from_str
+    """1.0 iff EXACTLY ONE [x1, y1, x2, y2] integer box appears — the
+    reference's findall-count rule (train_qwen_gp.py:767-778), not a mere
+    presence check (two boxes score 0)."""
+    import re
 
-    return [1.0 if any(extract_one_bbox_from_str(c)) else 0.0 for c in completions]
+    pat = re.compile(r"\[(\d+),\s*(\d+),\s*(\d+),\s*(\d+)\]")
+    return [1.0 if len(pat.findall(c or "")) == 1 else 0.0 for c in completions]
 
 
 @SCORE_FUNCS.register("llm")

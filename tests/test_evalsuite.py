@@ -170,9 +170,12 @@ def test_score_results_offline_and_resume(tmp_path, runner):
 def test_offline_scorers():
     assert single_choice(["q"], ["B"], ["The answer is B."]) == [1.0]
     assert single_choice(["q"], ["B"], ["(C)"]) == [0.0]
-    assert extract_one_bbox_from_str("box: [0.1, 0.2, 0.5, 0.6] end") == [0.1, 0.2, 0.5, 0.6]
-    assert one_box_iou05(["q"], [[0.1, 0.1, 0.5, 0.5]], ["[0.1, 0.1, 0.5, 0.5]"]) == [1.0]
-    assert one_box_iou05(["q"], [[0.1, 0.1, 0.5, 0.5]], ["[0.6, 0.6, 0.9, 0.9]"]) == [0.0]
+    # integer pixel boxes only — the reference evaluator's exact pattern
+    # (utils.py:45-57); float/normalized boxes fall back to zeros
+    assert extract_one_bbox_from_str("box: [10, 20, 50, 60] end") == [10, 20, 50, 60]
+    assert extract_one_bbox_from_str("box: [0.1, 0.2, 0.5, 0.6] end") == [0, 0, 0, 0]
+    assert one_box_iou05(["q"], [[10, 10, 50, 50]], ["[10, 10, 50, 50]"]) == [1.0]
+    assert one_box_iou05(["q"], [[10, 10, 50, 50]], ["[60, 60, 90, 90]"]) == [0.0]
     assert extract_score("blah score: 0.75") == 0.75
     assert extract_score("no score here") == 0.0
     assert extract_score("score: 1.5") == 1.0
@@ -272,3 +275,58 @@ def test_llm_client_concurrent_scoring_order_and_speedup():
             assert client1.score(["q"], ["s7"], ["a"]) == [0.07]
         finally:
             srv.shutdown()
+
+
+def test_bbox_utils_match_reference_executable():
+    """Fuzz extract_one_bbox_from_str / paired IoU against the reference's
+    own utils.py (imported with its openai dependency stubbed), including
+    the no-match and malformed-string fallbacks."""
+    import importlib.machinery
+    import importlib.util
+    import sys
+    import types
+
+    import numpy as np
+
+    for name in ("openai",):
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+            m.OpenAI = object
+            sys.modules[name] = m
+    spec = importlib.util.spec_from_file_location(
+        "ref_utils", "/root/reference/utils.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from glimpseprune_tpu.evalsuite.scorers import (
+        extract_one_bbox_from_str,
+        paired_box_iou,
+    )
+
+    cases = [
+        "The answer is [12, 34, 56, 78].",
+        "[1,2,3,4]",
+        "[ 5, 6 , 7, 8 ] trailing",
+        "two boxes [1, 2, 3, 4] and [9, 8, 7, 6]",  # first match wins
+        "no box here",
+        "[1.5, 2, 3, 4]",            # floats don't match the int pattern
+        "[-1, 2, 3, 4]",             # negative doesn't match
+        "[01, 002, 3, 4]",
+        "",
+    ]
+    rng = np.random.default_rng(0)
+    for _ in range(40):
+        a, b, c, d = rng.integers(0, 999, 4)
+        cases.append(f"bbox: [{a}, {b}, {c}, {d}]!")
+    for s in cases:
+        assert extract_one_bbox_from_str(s) == ref.extract_one_bbox_from_str(s), s
+
+    boxes1 = rng.uniform(0, 100, (64, 4))
+    boxes2 = rng.uniform(0, 100, (64, 4))
+    # include degenerate/inverted boxes — the reference does not sort corners
+    boxes1[:8] = boxes1[:8][:, [2, 3, 0, 1]]
+    boxes2[4:12, 2:] = boxes2[4:12, :2]
+    np.testing.assert_allclose(
+        paired_box_iou(boxes1, boxes2), ref.cal_paired_ious(boxes1, boxes2),
+        rtol=1e-12)

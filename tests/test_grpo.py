@@ -124,10 +124,14 @@ def test_grpo_trainer_step():
 
 def test_score_funcs():
     assert SCORE_FUNCS.get("precision_match")(["q"], ["yes"], ["yes"]) == [1.0]
-    assert SCORE_FUNCS.get("one_box_format")(["q"], [""], ["[0.1,0.2,0.3,0.4]"]) == [1.0]
+    # reference format rule (train_qwen_gp.py:767-778): exactly ONE integer
+    # box; float boxes and multi-box completions score 0
+    assert SCORE_FUNCS.get("one_box_format")(["q"], [""], ["[10,20,30,40]"]) == [1.0]
+    assert SCORE_FUNCS.get("one_box_format")(["q"], [""], ["[0.1,0.2,0.3,0.4]"]) == [0.0]
+    assert SCORE_FUNCS.get("one_box_format")(["q"], [""], ["[1,2,3,4] [5,6,7,8]"]) == [0.0]
     assert SCORE_FUNCS.get("one_box_format")(["q"], [""], ["no box"]) == [0.0]
-    iou = SCORE_FUNCS.get("one_box_iou")(["q"], [[0.0, 0.0, 0.5, 0.5]], ["[0.0, 0.0, 0.5, 0.5]"])
-    np.testing.assert_allclose(iou, [1.0])
+    iou = SCORE_FUNCS.get("one_box_iou")(["q"], [[0, 0, 50, 50]], ["[0, 0, 50, 50]"])
+    np.testing.assert_allclose(iou, [1.0], atol=1e-3)
 
 
 def test_grpo_trainer_mask_mixing():
