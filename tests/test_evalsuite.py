@@ -330,3 +330,43 @@ def test_bbox_utils_match_reference_executable():
     np.testing.assert_allclose(
         paired_box_iou(boxes1, boxes2), ref.cal_paired_ious(boxes1, boxes2),
         rtol=1e-12)
+
+
+def test_judge_score_parse_matches_reference_executable():
+    """extract_score vs the reference LLMClient._extract_score_from_str
+    (utils.py:126-139), executed directly (the method reads no state)."""
+    import importlib.machinery
+    import importlib.util
+    import sys
+    import types
+
+    for name in ("openai",):
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+            m.OpenAI = object
+            sys.modules[name] = m
+    spec = importlib.util.spec_from_file_location(
+        "ref_utils_js", "/root/reference/utils.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    parse = ref.LLMClient._extract_score_from_str
+
+    from glimpseprune_tpu.evalsuite.judge import extract_score
+
+    cases = [
+        "score: 0.75", "Score: 1.0", "SCORE: 0.3 extra", "score:0.5",
+        "the score is good", "score: 2.5", "score: .5", "score: 0.5 score: 0.7",
+        "no mention", "score: 1", "prefix\nscore: 0.25\nsuffix", "score: 0..5",
+    ]
+
+    def outcome(fn, s):
+        # both callers catch parse errors and score 0.0 (utils.py:158-161 /
+        # judge._score_one) — behaviors must match incl. the raising cases
+        try:
+            return ("ok", fn(s))
+        except ValueError:
+            return ("raise", None)
+
+    for s in cases:
+        assert outcome(extract_score, s) == outcome(lambda t: parse(None, t), s), s
