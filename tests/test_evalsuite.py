@@ -370,3 +370,72 @@ def test_judge_score_parse_matches_reference_executable():
 
     for s in cases:
         assert outcome(extract_score, s) == outcome(lambda t: parse(None, t), s), s
+
+
+def test_mask_confusion_matches_reference_cal_box_metrics():
+    """mask_confusion_stats vs the reference's executable cal_box_metrics
+    (viscot_eval/infer_cot.py:350-373) on random masks incl. the all-empty
+    IoU fallback."""
+    import importlib.machinery
+    import importlib.util
+    import sys
+    import types
+
+    import torch
+
+    for name, attrs in (("vllm", ("LLM", "SamplingParams")),
+                        ("openai", ("OpenAI",)),
+                        ("datasets", ())):
+        if name not in sys.modules:
+            try:
+                __import__(name)
+                continue
+            except ImportError:
+                pass
+            m = types.ModuleType(name)
+            m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+            for a in attrs:
+                setattr(m, a, type(a, (), {}))
+            sys.modules[name] = m
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    # pre-stub the fork-model registry subpackage infer_cot pulls in (torch
+    # model wrappers, irrelevant to the metrics function under test)
+    if "viscot_eval.models" not in sys.modules:
+        m = types.ModuleType("viscot_eval.models")
+        m.__spec__ = importlib.machinery.ModuleSpec("viscot_eval.models", None)
+        m.BaseInferModel = type("BaseInferModel", (), {})
+        m.get_model = lambda *a, **k: None
+        sys.modules["viscot_eval.models"] = m
+    spec = importlib.util.spec_from_file_location(
+        "viscot_eval.infer_cot", "/root/reference/viscot_eval/infer_cot.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from glimpseprune_tpu.training.train_step import mask_confusion_stats  # noqa: F401
+    from glimpseprune_tpu.training.losses import mask_confusion_stats as stats
+
+    rng = np.random.default_rng(3)
+    B, N = 5, 37
+    lens = [37, 20, 31, 9, 37]
+    keep = rng.random((B, N)) < 0.4
+    target = rng.random((B, N)) < 0.3
+    keep[3] = False
+    target[3] = False  # all-empty row -> reference IoU fallback 0
+    valid = np.zeros((B, N), dtype=bool)
+    for b, n in enumerate(lens):
+        valid[b, :n] = True
+    keep &= valid
+    target &= valid
+
+    ref_metrics = ref.cal_box_metrics(
+        [torch.tensor(keep[b, :lens[b]]) for b in range(B)],
+        [torch.tensor(target[b, :lens[b]]) for b in range(B)],
+    )
+    s = stats(jnp.asarray(keep), jnp.asarray(target), jnp.asarray(valid))
+    np.testing.assert_allclose(np.asarray(s["iou"]),
+                               np.asarray(ref_metrics[ref.IOU_KEY]), atol=1e-12)
+    for b in range(B):
+        cm = ref_metrics[ref.CONF_MAT_KEY][b]
+        assert int(s["tp"][b]) == cm[0, 0] and int(s["fp"][b]) == cm[0, 1]
+        assert int(s["fn"][b]) == cm[1, 0] and int(s["tn"][b]) == cm[1, 1]
