@@ -34,6 +34,9 @@ def agg(rows, scores, key):
 
 
 def main():
+    from glimpseprune_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("a")
     ap.add_argument("b")

@@ -67,6 +67,9 @@ def make_synth_corpus(root: str, n: int, img_side: int, seed: int = 0):
 
 
 def main():
+    from glimpseprune_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", default="3b", choices=["tiny", "1b", "3b", "7b"])
     ap.add_argument("--quant", default="", choices=["", "int8", "int4"],

@@ -79,6 +79,9 @@ def make_tiny():
 
 
 def main():
+    from glimpseprune_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--image", required=True)
     ap.add_argument("--question", required=True)

@@ -243,6 +243,9 @@ def make_handler(state: DemoState):
 
 
 def main():
+    from glimpseprune_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--hf-model")
     ap.add_argument("--new-modules")

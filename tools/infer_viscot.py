@@ -22,6 +22,9 @@ import os
 
 
 def main():
+    from glimpseprune_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--benchmark", required=True, help="VisCoT benchmark json")
     ap.add_argument("--img-dir", required=True)

@@ -17,6 +17,9 @@ import numpy as np
 
 
 def main():
+    from glimpseprune_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     scale = sys.argv[1] if len(sys.argv) > 1 else "7b"
     kv_quant = sys.argv[2] if len(sys.argv) > 2 else ""
     os.environ.setdefault("BENCH_QUANT", "int8" if scale == "7b" else "")

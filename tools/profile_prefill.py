@@ -89,6 +89,9 @@ def profile_vision(cfg, runner, params, inputs, timeit):
 
 
 def main():
+    from glimpseprune_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     import jax
     import jax.numpy as jnp
 

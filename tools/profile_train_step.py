@@ -34,11 +34,10 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-4)
     args = ap.parse_args()
 
-    plat = (os.environ.get("JAX_PLATFORMS") or "").lower()
-    import jax
+    from glimpseprune_tpu.utils.platform import honor_platform_env
 
-    if plat:
-        jax.config.update("jax_platforms", plat)
+    honor_platform_env()
+    import jax
     import jax.numpy as jnp
     import optax
 

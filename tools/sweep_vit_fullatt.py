@@ -17,6 +17,9 @@ import numpy as np
 
 
 def main():
+    from glimpseprune_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     import jax
     import jax.numpy as jnp
 

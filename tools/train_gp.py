@@ -16,6 +16,9 @@ import argparse
 
 
 def main():
+    from glimpseprune_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default=None, help="trainer yaml (TrainerConfig keys)")
     ap.add_argument("--data-config", required=True, help="dataset yaml")
