@@ -789,13 +789,9 @@ def _assert_device_reachable(timeout_s: int = 180):
 def main():
     # default = the reference's flagship 7B (int8 so it fits one chip);
     # fall back through smaller shapes on tunnel/compile failures.
-    # Honor a JAX_PLATFORMS=cpu request via jax.config: the axon TPU plugin
-    # ignores the env var alone (CLAUDE.md / tests/conftest.py dance).
-    plat = (os.environ.get("JAX_PLATFORMS") or "").lower()
-    if plat:
-        import jax
+    from glimpseprune_tpu.utils.platform import honor_platform_env
 
-        jax.config.update("jax_platforms", plat)
+    honor_platform_env()
     _assert_device_reachable()
     scale = os.environ.get("BENCH_SCALE", "7b")
     if scale == "7b" and not os.environ.get("BENCH_QUANT"):

@@ -81,11 +81,28 @@ def paired_box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return inter / (area_a + area_b - inter + 1e-6)
 
 
+def _gt_box(g) -> List[float]:
+    """The gt side NEVER goes through the prediction extractor: the
+    reference feeds raw lists (cal_cot_score.py:399-405 np.array(gt_resp));
+    VisCoT gt boxes are normalized floats the int-only pattern would zero
+    out. Strings (jsonl round-trips) parse via literal_eval; anything
+    malformed or non-length-4 falls back to zeros instead of raising."""
+    if isinstance(g, (list, tuple)) and len(g) == 4:
+        return [float(x) for x in g]
+    if isinstance(g, str):
+        try:
+            val = ast.literal_eval(g)
+        except (ValueError, SyntaxError):
+            return [0.0, 0.0, 0.0, 0.0]
+        if isinstance(val, (list, tuple)) and len(val) == 4:
+            return [float(x) for x in val]
+    return [0.0, 0.0, 0.0, 0.0]
+
+
 @SCORERS.register("one_box_iou05")
 def one_box_iou05(queries, gt_resp, pred_resp, **kw) -> List[float]:
     pred = np.array([extract_one_bbox_from_str(p) for p in pred_resp], dtype=np.float64)
-    gt = np.array([g if isinstance(g, (list, tuple)) else extract_one_bbox_from_str(str(g))
-                   for g in gt_resp], dtype=np.float64)
+    gt = np.array([_gt_box(g) for g in gt_resp], dtype=np.float64)
     return (paired_box_iou(pred, gt) > 0.5).astype(float).tolist()
 
 

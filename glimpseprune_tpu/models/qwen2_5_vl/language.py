@@ -157,8 +157,8 @@ def _layer_decode(cfg: TextConfig, pl, l, x, cos, sin, k_cache, v_cache,
 
 
 def harvest_postprocess(
-    raw_row: jnp.ndarray,       # [B, S, Hq] raw scaled logits
-    q_index: jnp.ndarray,       # [B]  (row selection happens upstream)
+    raw_row: jnp.ndarray,       # [B, S, Hq] raw scaled logits (the glimpse
+                                # query's row — selection happens upstream)
     valid: jnp.ndarray,         # [B, S]
     use_attention_logits: bool,
 ) -> jnp.ndarray:
@@ -383,7 +383,7 @@ class TextDecoder(nn.Module):
                     preferred_element_type=jnp.float32,
                 )
                 raw = (raw / jnp.sqrt(jnp.float32(cfg.head_dim))).transpose(0, 2, 1)
-                harvests[lid] = harvest_postprocess(raw, q_index, valid, use_attention_logits)
+                harvests[lid] = harvest_postprocess(raw, valid, use_attention_logits)
         kv = (ks, vs) if collect_kv else None
         return x, kv, harvests
 

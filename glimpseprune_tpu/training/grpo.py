@@ -50,21 +50,14 @@ def one_box_iou_score(queries, answers, completions, **kw) -> List[float]:
         paired_box_iou,
     )
 
-    import ast
+    from glimpseprune_tpu.evalsuite.scorers import _gt_box
 
-    def gt_box(a):
-        # the reference parses the gt side with ast.literal_eval (floats
-        # allowed, train_qwen_gp.py:763), only the PREDICTION goes through
-        # the int-pattern extractor
-        if isinstance(a, (list, tuple)):
-            return list(a)
-        try:
-            return list(ast.literal_eval(str(a)))
-        except (ValueError, SyntaxError):
-            return [0, 0, 0, 0]
-
+    # gt parses like the reference's ast.literal_eval side
+    # (train_qwen_gp.py:763); only the PREDICTION goes through the
+    # int-pattern extractor. _gt_box zero-fills malformed/non-4 answers
+    # instead of crashing the training step.
     pred = np.array([extract_one_bbox_from_str(c) for c in completions])
-    gt = np.array([gt_box(a) for a in answers], dtype=np.float64)
+    gt = np.array([_gt_box(a) for a in answers], dtype=np.float64)
     return paired_box_iou(pred, gt).tolist()
 
 

@@ -381,3 +381,66 @@ def load_reference_train():
     spec.loader.exec_module(mod)
     _TRAIN_MOD = mod
     return mod
+
+
+def _stub_module(name, attrs=()):
+    if name in sys.modules:
+        return sys.modules[name]
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    for a in attrs:
+        setattr(m, a, type(a, (), {}))
+    sys.modules[name] = m
+    return m
+
+
+_UTILS_MOD = None
+
+
+def load_reference_utils():
+    """Import the reference's root utils.py (bbox extract/IoU, LLMClient)."""
+    global _UTILS_MOD
+    if _UTILS_MOD is not None:
+        return _UTILS_MOD
+    import importlib.util
+
+    _stub_module("openai", ("OpenAI",))
+    spec = importlib.util.spec_from_file_location("ref_utils", f"{_REF}/utils.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    _UTILS_MOD = mod
+    return mod
+
+
+_INFER_COT_MOD = None
+
+
+def load_reference_infer_cot():
+    """Import viscot_eval.infer_cot (metrics + protocol constants).
+
+    The fork-model registry subpackage (torch model wrappers) and the
+    vllm/openai judge deps are stubbed — the functions the differential
+    tests exercise never touch them."""
+    global _INFER_COT_MOD
+    if _INFER_COT_MOD is not None:
+        return _INFER_COT_MOD
+    import importlib.util
+
+    if _REF not in sys.path:
+        sys.path.insert(0, _REF)
+    _stub_module("vllm", ("LLM", "SamplingParams"))
+    _stub_module("openai", ("OpenAI",))
+    try:
+        import datasets  # noqa: F401
+    except ImportError:
+        _stub_module("datasets")
+    if "viscot_eval.models" not in sys.modules:
+        m = _stub_module("viscot_eval.models", ("BaseInferModel",))
+        m.get_model = lambda *a, **k: None
+    spec = importlib.util.spec_from_file_location(
+        "viscot_eval.infer_cot", f"{_REF}/viscot_eval/infer_cot.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    _INFER_COT_MOD = mod
+    return mod

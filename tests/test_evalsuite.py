@@ -176,6 +176,16 @@ def test_offline_scorers():
     assert extract_one_bbox_from_str("box: [0.1, 0.2, 0.5, 0.6] end") == [0, 0, 0, 0]
     assert one_box_iou05(["q"], [[10, 10, 50, 50]], ["[10, 10, 50, 50]"]) == [1.0]
     assert one_box_iou05(["q"], [[10, 10, 50, 50]], ["[60, 60, 90, 90]"]) == [0.0]
+    # the GT side is raw lists / list-strings (VisCoT normalized floats) and
+    # NEVER goes through the int-only prediction extractor
+    # (cal_cot_score.py:399-405); jsonl round-trips hand it back as a string
+    assert one_box_iou05(["q"], ["[0.2, 0.2, 0.6, 0.6]"],
+                         ["pred [0, 0, 1, 1]"]) == [0.0]
+    gt_str = "[10.0, 10.0, 50.0, 50.0]"
+    assert one_box_iou05(["q"], [gt_str], ["[10, 10, 50, 50]"]) == [1.0]
+    # malformed/scalar/wrong-arity gt never raises
+    assert one_box_iou05(["q", "q", "q"], ["5", "[1, 2]", "junk"],
+                         ["[1,2,3,4]"] * 3) == [0.0, 0.0, 0.0]
     assert extract_score("blah score: 0.75") == 0.75
     assert extract_score("no score here") == 0.0
     assert extract_score("score: 1.5") == 1.0
@@ -281,23 +291,12 @@ def test_bbox_utils_match_reference_executable():
     """Fuzz extract_one_bbox_from_str / paired IoU against the reference's
     own utils.py (imported with its openai dependency stubbed), including
     the no-match and malformed-string fallbacks."""
-    import importlib.machinery
-    import importlib.util
-    import sys
-    import types
-
     import numpy as np
 
-    for name in ("openai",):
-        if name not in sys.modules:
-            m = types.ModuleType(name)
-            m.__spec__ = importlib.machinery.ModuleSpec(name, None)
-            m.OpenAI = object
-            sys.modules[name] = m
-    spec = importlib.util.spec_from_file_location(
-        "ref_utils", "/root/reference/utils.py")
-    ref = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(ref)
+    pytest.importorskip("torch")
+    from reference_shim import load_reference_utils
+
+    ref = load_reference_utils()
 
     from glimpseprune_tpu.evalsuite.scorers import (
         extract_one_bbox_from_str,
@@ -335,22 +334,10 @@ def test_bbox_utils_match_reference_executable():
 def test_judge_score_parse_matches_reference_executable():
     """extract_score vs the reference LLMClient._extract_score_from_str
     (utils.py:126-139), executed directly (the method reads no state)."""
-    import importlib.machinery
-    import importlib.util
-    import sys
-    import types
+    pytest.importorskip("torch")
+    from reference_shim import load_reference_utils
 
-    for name in ("openai",):
-        if name not in sys.modules:
-            m = types.ModuleType(name)
-            m.__spec__ = importlib.machinery.ModuleSpec(name, None)
-            m.OpenAI = object
-            sys.modules[name] = m
-    spec = importlib.util.spec_from_file_location(
-        "ref_utils_js", "/root/reference/utils.py")
-    ref = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(ref)
-    parse = ref.LLMClient._extract_score_from_str
+    parse = load_reference_utils().LLMClient._extract_score_from_str
 
     from glimpseprune_tpu.evalsuite.judge import extract_score
 
@@ -376,41 +363,10 @@ def test_mask_confusion_matches_reference_cal_box_metrics():
     """mask_confusion_stats vs the reference's executable cal_box_metrics
     (viscot_eval/infer_cot.py:350-373) on random masks incl. the all-empty
     IoU fallback."""
-    import importlib.machinery
-    import importlib.util
-    import sys
-    import types
+    torch = pytest.importorskip("torch")
+    from reference_shim import load_reference_infer_cot
 
-    import torch
-
-    for name, attrs in (("vllm", ("LLM", "SamplingParams")),
-                        ("openai", ("OpenAI",)),
-                        ("datasets", ())):
-        if name not in sys.modules:
-            try:
-                __import__(name)
-                continue
-            except ImportError:
-                pass
-            m = types.ModuleType(name)
-            m.__spec__ = importlib.machinery.ModuleSpec(name, None)
-            for a in attrs:
-                setattr(m, a, type(a, (), {}))
-            sys.modules[name] = m
-    if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
-    # pre-stub the fork-model registry subpackage infer_cot pulls in (torch
-    # model wrappers, irrelevant to the metrics function under test)
-    if "viscot_eval.models" not in sys.modules:
-        m = types.ModuleType("viscot_eval.models")
-        m.__spec__ = importlib.machinery.ModuleSpec("viscot_eval.models", None)
-        m.BaseInferModel = type("BaseInferModel", (), {})
-        m.get_model = lambda *a, **k: None
-        sys.modules["viscot_eval.models"] = m
-    spec = importlib.util.spec_from_file_location(
-        "viscot_eval.infer_cot", "/root/reference/viscot_eval/infer_cot.py")
-    ref = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(ref)
+    ref = load_reference_infer_cot()
 
     from glimpseprune_tpu.training.train_step import mask_confusion_stats  # noqa: F401
     from glimpseprune_tpu.training.losses import mask_confusion_stats as stats
