@@ -684,6 +684,39 @@ class Qwen2_5_VL_GP(nn.Module):
             k_cache, v_cache, kv_valid, write_idx,
         )
 
+    def embed_with_images(self, input_ids, image_embeds=None, packed_idx=None,
+                          img_slots=None, img_valid=None):
+        """Token embeddings with image rows scattered in (the vanilla
+        prefill's input construction, exposed for chunked prefill)."""
+        embeds = self.text.embed(input_ids)
+        if image_embeds is not None:
+            B = input_ids.shape[0]
+            rows = _gather_rows(
+                jnp.broadcast_to(image_embeds[None], (B,) + image_embeds.shape),
+                packed_idx, img_valid,
+            )
+            embeds = _scatter_rows(embeds, img_slots, rows, img_valid)
+        return embeds
+
+    def prefill_chunk(self, chunk_embeds, position_ids, k_cache, v_cache,
+                      kv_valid, write_idx, chunk_valid, full_logits: bool = False):
+        """One chunked-prefill step: C pre-scattered token embeddings
+        against the (partially filled) decode cache; returns the chunk's
+        LAST-slot logits [B, 1, V] (or the full [B, C, V] when full_logits,
+        for the tail chunk whose last REAL slot is mid-chunk) + the updated
+        cache (language.decode_step S_new=C semantics — intra-chunk causal,
+        stale-slot masking)."""
+        c = self.cfg
+        cos, sin = mrope_cos_sin(
+            position_ids, c.text.head_dim, c.text.rope_theta, c.text.mrope_section
+        )
+        return self.text.decode_step(
+            None, cos.astype(self.dtype), sin.astype(self.dtype),
+            k_cache, v_cache, kv_valid, write_idx,
+            inputs_embeds=chunk_embeds, logits_last_only=not full_logits,
+            new_valid=chunk_valid,
+        )
+
     # init/traversal path: touch every submodule so linen materializes params
     def __call__(self, input_ids, valid, position_ids, patches, vis_pos_ids,
                  full_seg, vis_valid, packed_idx, img_slots, img_valid,

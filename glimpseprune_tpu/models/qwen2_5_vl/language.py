@@ -123,7 +123,7 @@ def _layer_prefill(cfg: TextConfig, pl, x, cos, sin, valid, q_index, dtype):
 
 
 def _layer_decode(cfg: TextConfig, pl, l, x, cos, sin, k_cache, v_cache,
-                  kv_valid, write_idx, dtype):
+                  kv_valid, write_idx, dtype, new_valid=None):
     """One decode layer against the FULL stacked cache [L, B, T, Hkv, D].
 
     The cache lives in the layer-scan CARRY and only the new token slots are
@@ -147,7 +147,7 @@ def _layer_decode(cfg: TextConfig, pl, l, x, cos, sin, k_cache, v_cache,
     kl = cache_layer(k_cache, l)
     vl = cache_layer(v_cache, l)
     attn = decode_attention(q, kl, vl, kv_valid, k_new=k, v_new=v,
-                            write_idx=write_idx)
+                            write_idx=write_idx, new_valid=new_valid)
     k_cache = cache_append(k_cache, k, l, write_idx)
     v_cache = cache_append(v_cache, v, l, write_idx)
     b, s = x.shape[:2]
@@ -389,24 +389,37 @@ class TextDecoder(nn.Module):
 
     def decode_step(
         self,
-        input_ids: jnp.ndarray,   # [B, S_new]
+        input_ids: Optional[jnp.ndarray],   # [B, S_new]; None with inputs_embeds
         cos: jnp.ndarray,
         sin: jnp.ndarray,
         k_cache: jnp.ndarray,     # [L, B, T, Hkv, D]
         v_cache: jnp.ndarray,
         kv_valid: jnp.ndarray,    # [B, T] validity incl. the new slots
         write_idx: jnp.ndarray,   # scalar
+        inputs_embeds: Optional[jnp.ndarray] = None,  # [B, S_new, H]:
+        # pre-scattered embeddings (chunked prefill over image spans)
+        logits_last_only: bool = False,
+        new_valid: Optional[jnp.ndarray] = None,  # [B, S_new] chunk-internal
+        # key validity (left-padded rows carry pads inside early chunks)
     ):
+        """S_new tokens against the cache — the decode hot path (S_new=1,
+        32-step scan chunks) AND the chunked-prefill step (S_new=C): the
+        read-then-write cache carry, intra-chunk causality, and stale-slot
+        masking are the same contract either way (decode_attention k_new
+        path). Right-padded rows are safe within a chunk: causal ordering
+        keeps real queries ahead of their row's pad keys, and kv_valid
+        masks pad slots for every later chunk."""
         cfg = self.cfg
         dtype = self.dtype
-        x = self.embed(input_ids)
+        x = self.embed(input_ids) if inputs_embeds is None else inputs_embeds
         L = jax.tree.leaves(k_cache)[0].shape[0]
 
         def body(carry, scanned):
             xc, kc, vc = carry
             pl, l = scanned
             xc, kc, vc = _layer_decode(
-                cfg, pl, l, xc, cos, sin, kc, vc, kv_valid, write_idx, dtype
+                cfg, pl, l, xc, cos, sin, kc, vc, kv_valid, write_idx, dtype,
+                new_valid=new_valid,
             )
             return (xc, kc, vc), None
 
@@ -414,4 +427,8 @@ class TextDecoder(nn.Module):
             body, (x, k_cache, v_cache), (self.layers, jnp.arange(L))
         )
         x = self.final_norm(x)
+        if logits_last_only:
+            # chunked prefill: the full [B, C, V] head matmul per chunk
+            # would re-pay the whole-sequence lm_head cost
+            x = x[:, -1:]
         return self.logits(x), k_new, v_new

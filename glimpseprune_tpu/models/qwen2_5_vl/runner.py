@@ -464,6 +464,15 @@ class GlimpsePruneRunner:
         self._vanilla = jax.jit(
             lambda p, *a: self.model.apply(p, *a, method=self.model.vanilla_prefill)
         )
+        self._embed_imgs = jax.jit(
+            lambda p, *a: self.model.apply(p, *a, method=self.model.embed_with_images)
+        )
+        self._prefill_chunk = jax.jit(
+            lambda p, *a, full_logits=False: self.model.apply(
+                p, *a, full_logits=full_logits,
+                method=self.model.prefill_chunk),
+            donate_argnums=(3, 4), static_argnames=("full_logits",),
+        )
         self._decode = jax.jit(self._decode_impl, donate_argnums=(3, 4) if donate_cache else ())
         self._staged = jax.jit(
             self._staged_impl, static_argnames=("stages", "out_lens", "dense_attn")
@@ -927,6 +936,84 @@ class GlimpsePruneRunner:
             mask_logits=mask_logits,
             prune_ratio=prune_ratio,
         )
+
+    def vanilla_prefill_chunked(self, prep: PreparedInputs, chunk_size: int,
+                                prealloc_t: Optional[int] = None):
+        """Vanilla prefill in `chunk_size`-token chunks STRAIGHT INTO a
+        decode-ready cache (reference parity target: full-sequence
+        prefill; this is the admission-granularity primitive for
+        continuous serving — decode scans can interleave between chunks,
+        and per-chunk activation memory is O(C) instead of O(S)).
+
+        Each chunk is one jitted language.decode_step call (S_new=C):
+        read-then-write cache aliasing, intra-chunk causality via the
+        k_new register path, stale-slot masking for not-yet-written slots.
+        Token-identical to _vanilla + _build_decode_cache (tested).
+
+        Returns (logits [B, 1, V] at the final slot, r_valid [B, S],
+        r_pos [3, B, S], k_cache, v_cache) with caches [L, B, T, ...]
+        (T = prealloc_t or S) — plug into _decode_loop(prealloc_t=T).
+        """
+        cfg = self.cfg
+        inputs = self._device_inputs(prep, False)
+        le_len = cfg.gp.le_length if cfg.gp.has_le else 0
+        if le_len:
+            # le slots are always the trailing slots in inference prep
+            for key in ("input_ids", "valid"):
+                inputs[key] = inputs[key][:, :-le_len]
+            inputs["position_ids"] = inputs["position_ids"][:, :, :-le_len]
+        ids = inputs["input_ids"]
+        valid = inputs["valid"]
+        pos = inputs["position_ids"]
+        B, S = ids.shape
+        C = int(chunk_size)
+        n_chunks = (S + C - 1) // C
+        Sp = n_chunks * C  # tail chunk padded with invalid slots
+
+        image_embeds = None
+        if prep.patches is not None:
+            image_embeds = self._vision(
+                {"params": self.params}, inputs["patches"],
+                inputs["vis_pos_ids"], inputs["full_seg"], inputs["vis_valid"],
+                dense_attn=_vis_dense_hint(prep),
+            )[0]
+        embeds = self._embed_imgs(
+            {"params": self.params}, ids, image_embeds,
+            inputs["packed_idx"], inputs["img_slots"], inputs["img_valid"],
+        )
+        if Sp > S:
+            embeds = jnp.pad(embeds, ((0, 0), (0, Sp - S), (0, 0)))
+            pos_p = jnp.pad(pos, ((0, 0), (0, 0), (0, Sp - S)))
+        else:
+            pos_p = pos
+
+        from glimpseprune_tpu.ops.kv_cache import alloc_cache
+
+        # the tail chunk writes (invalid, later-overwritten) slots up to Sp
+        T = max(int(prealloc_t) if prealloc_t is not None else S, Sp)
+        kv_quant = getattr(cfg.text, "kv_cache_quant", "none")
+        kv_quant = "" if kv_quant == "none" else kv_quant
+        L = cfg.text.num_hidden_layers
+        shape = (L, B, T, cfg.text.num_key_value_heads, cfg.text.head_dim)
+        k_cache = alloc_cache(shape, embeds.dtype, kv_quant)
+        v_cache = alloc_cache(shape, embeds.dtype, kv_quant)
+        kv_valid = jnp.concatenate(
+            [valid, jnp.zeros((B, T - S), dtype=bool)], axis=1)
+
+        logits = None
+        for i in range(n_chunks):
+            sl = slice(i * C, (i + 1) * C)
+            last = i == n_chunks - 1
+            logits, k_cache, v_cache = self._prefill_chunk(
+                {"params": self.params}, embeds[:, sl], pos_p[:, :, sl],
+                k_cache, v_cache, kv_valid, jnp.int32(i * C),
+                kv_valid[:, sl],  # chunk-internal key validity (left pads)
+                full_logits=last,
+            )
+        # the final REAL slot (S-1) sits mid-chunk when C does not divide S
+        rel = (S - 1) - (n_chunks - 1) * C
+        logits = jax.lax.dynamic_slice_in_dim(logits, rel, 1, axis=1)
+        return logits, valid, pos, k_cache, v_cache
 
     def _decode_loop(self, logits, r_valid, r_pos, kv_k, kv_v, max_new_tokens,
                      eos, temperature: float = 0.0,

@@ -410,6 +410,9 @@ def decode_attention(
     k_new: Optional[jnp.ndarray] = None,  # [B, S_new, Hkv, D]
     v_new: Optional[jnp.ndarray] = None,
     write_idx: Optional[jnp.ndarray] = None,  # scalar: new tokens' cache slot
+    new_valid: Optional[jnp.ndarray] = None,  # [B, S_new] in-register key
+    # validity — chunked prefill over LEFT-padded rows carries pad slots
+    # inside the chunk; decode steps (all-real tokens) leave this None
 ) -> jnp.ndarray:
     """Attention of new queries over a cached (compacted) KV prefix.
 
@@ -473,6 +476,9 @@ def decode_attention(
         jnp.arange(s_new)[:, None] >= jnp.arange(s_new)[None, :]
     )  # query s attends new-token u iff u <= s
     logits_n = jnp.where(causal_n[None, None, None], logits_n, NEG_INF)
+    if new_valid is not None:
+        logits_n = jnp.where(
+            new_valid[:, None, None, None, :], logits_n, NEG_INF)
     full = jnp.concatenate([logits, logits_n], axis=-1)
     probs = jax.nn.softmax(full, axis=-1)
     pc, pn = probs[..., :t], probs[..., t:]
