@@ -954,6 +954,30 @@ class GlimpsePruneRunner:
         r_pos [3, B, S], k_cache, v_cache) with caches [L, B, T, ...]
         (T = prealloc_t or S) — plug into _decode_loop(prealloc_t=T).
         """
+        kv_quant = getattr(self.cfg.text, "kv_cache_quant", "none")
+        gen = self._chunked_prefill_gen(
+            prep, chunk_size, prealloc_t,
+            tier="" if kv_quant == "none" else kv_quant)
+        while True:
+            try:
+                next(gen)
+            except StopIteration as stop:
+                return stop.value
+
+    def vanilla_prefill_chunked_steps(self, prep: PreparedInputs,
+                                      chunk_size: int):
+        """Generator form for serving admission: yields after every prefill
+        chunk (the scheduler interleaves decode chunks there) and returns a
+        PrefillOut-shaped tuple with the kv stacks sliced to the real
+        sequence and kept RAW — ContinuousBatcher's cache_fill_rows applies
+        the batch cache's quant tier at fill."""
+        out = yield from self._chunked_prefill_gen(prep, chunk_size, None, "")
+        logits, valid, pos, kc, vc = out
+        S = valid.shape[1]
+        return logits, valid, pos, kc[:, :, :S], vc[:, :, :S]
+
+    def _chunked_prefill_gen(self, prep: PreparedInputs, chunk_size: int,
+                             prealloc_t: Optional[int], tier: str):
         cfg = self.cfg
         inputs = self._device_inputs(prep, False)
         le_len = cfg.gp.le_length if cfg.gp.has_le else 0
@@ -991,12 +1015,10 @@ class GlimpsePruneRunner:
 
         # the tail chunk writes (invalid, later-overwritten) slots up to Sp
         T = max(int(prealloc_t) if prealloc_t is not None else S, Sp)
-        kv_quant = getattr(cfg.text, "kv_cache_quant", "none")
-        kv_quant = "" if kv_quant == "none" else kv_quant
         L = cfg.text.num_hidden_layers
         shape = (L, B, T, cfg.text.num_key_value_heads, cfg.text.head_dim)
-        k_cache = alloc_cache(shape, embeds.dtype, kv_quant)
-        v_cache = alloc_cache(shape, embeds.dtype, kv_quant)
+        k_cache = alloc_cache(shape, embeds.dtype, tier)
+        v_cache = alloc_cache(shape, embeds.dtype, tier)
         kv_valid = jnp.concatenate(
             [valid, jnp.zeros((B, T - S), dtype=bool)], axis=1)
 
@@ -1010,6 +1032,8 @@ class GlimpsePruneRunner:
                 kv_valid[:, sl],  # chunk-internal key validity (left pads)
                 full_logits=last,
             )
+            if not last:
+                yield i  # scheduler interleave point
         # the final REAL slot (S-1) sits mid-chunk when C does not divide S
         rel = (S - 1) - (n_chunks - 1) * C
         logits = jax.lax.dynamic_slice_in_dim(logits, rel, 1, axis=1)

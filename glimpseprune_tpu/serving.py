@@ -153,6 +153,8 @@ class ContinuousBatcher:
         host sync at every admission (TTFT is a real first-token-on-host
         time) and after every decode chunk.
         """
+        import inspect
+
         n_req = len(prefills)
         waves = (n_req + self.capacity - 1) // self.capacity
         if n_req + waves * self.need + 1 > self.total_chunks:
@@ -180,39 +182,19 @@ class ContinuousBatcher:
         free = list(range(B))
         pending = list(range(n_req))
         live: List[int] = []         # occupied slots
-        gchunk = 0
+        state = {"gchunk": 0, "key": key, "kc": kc, "vc": vc, "kvv": kvv,
+                 "ntok": ntok, "lpb": lpb}
 
-        while pending or live:
-            if pending and free:
-                req = pending.pop(0)
-                slot = free.pop(0)
-                rlogits, rvalid, rpos, ck, cv = prefills[req]()
-                if rvalid.shape[0] != 1:
-                    raise ValueError(
-                        f"admission takes one row, got B={rvalid.shape[0]} "
-                        "(slice the prefill output per request)")
-                kc, vc, kvv, ntok, lpb = self._admit(
-                    kc, vc, kvv, ntok, lpb, ck, cv, rvalid, rlogits, rpos,
-                    jnp.int32(slot), jnp.int32(gchunk * inter))
-                first = int(np.asarray(ntok)[slot])  # sync: token on host
-                ttft[req] = time.perf_counter() - t0
-                slot_req[slot] = req
-                admit_chunk[slot] = gchunk
-                live.append(slot)
-                if first == self.eos:  # degenerate instant-eos request
-                    completion[req] = ttft[req]
-                    live.remove(slot)
-                    free.append(slot)
-                # fall through: one decode chunk between admissions — the
-                # interleave that advances early rows while later requests
-                # are still prefilling
-            if not live:
-                continue
-            key, sub = jax.random.split(key)
-            toks, ntok, done, kc, vc, kvv = self._chunk(
-                params, ntok, lpb, kc, vc, kvv, jnp.int32(gchunk * inter), sub)
+        def run_chunk():
+            """One interleaved decode chunk + per-slot bookkeeping."""
+            state["key"], sub = jax.random.split(state["key"])
+            toks, state["ntok"], done, state["kc"], state["vc"], state["kvv"] = \
+                self._chunk(params, state["ntok"], state["lpb"], state["kc"],
+                            state["vc"], state["kvv"],
+                            jnp.int32(state["gchunk"] * inter), sub)
             toks = np.asarray(toks)  # sync: chunk landed
-            gchunk += 1
+            state["gchunk"] += 1
+            gchunk = state["gchunk"]
             now = time.perf_counter() - t0
             done = np.asarray(done)
             for slot in list(live):
@@ -224,6 +206,60 @@ class ContinuousBatcher:
                     completion[req] = now
                     live.remove(slot)
                     free.append(slot)
+
+        while pending or live:
+            if pending and free:
+                req = pending.pop(0)
+                slot = free.pop(0)
+                out = prefills[req]()
+                if inspect.isgenerator(out):
+                    # CHUNKED admission (vanilla_prefill_chunked_steps):
+                    # interleave one decode chunk at every prefill-chunk
+                    # boundary — running rows keep decoding while this
+                    # request is still prefilling. Extra interleaves spend
+                    # schedule budget the constructor sized for one chunk
+                    # per admission, so stop interleaving (prefill chunks
+                    # continue back-to-back) once the remaining budget just
+                    # covers the mandatory admissions + drain chunks.
+                    def budget_left():
+                        n_unadmitted = len(pending) + 1
+                        waves_left = (n_unadmitted + len(live) + B - 1) // B
+                        reserved = n_unadmitted + waves_left * need
+                        return state["gchunk"] + reserved + 1 <= self.total_chunks
+
+                    while True:
+                        try:
+                            next(out)
+                        except StopIteration as stop:
+                            out = stop.value
+                            break
+                        if live and budget_left():
+                            run_chunk()
+                rlogits, rvalid, rpos, ck, cv = out
+                if rvalid.shape[0] != 1:
+                    raise ValueError(
+                        f"admission takes one row, got B={rvalid.shape[0]} "
+                        "(slice the prefill output per request)")
+                (state["kc"], state["vc"], state["kvv"], state["ntok"],
+                 state["lpb"]) = self._admit(
+                    state["kc"], state["vc"], state["kvv"], state["ntok"],
+                    state["lpb"], ck, cv, rvalid, rlogits, rpos,
+                    jnp.int32(slot), jnp.int32(state["gchunk"] * inter))
+                first = int(np.asarray(state["ntok"])[slot])  # sync: on host
+                ttft[req] = time.perf_counter() - t0
+                slot_req[slot] = req
+                admit_chunk[slot] = state["gchunk"]
+                live.append(slot)
+                if first == self.eos:  # degenerate instant-eos request
+                    completion[req] = ttft[req]
+                    live.remove(slot)
+                    free.append(slot)
+                # fall through: one decode chunk between admissions — the
+                # interleave that advances early rows while later requests
+                # are still prefilling
+            if not live:
+                continue
+            run_chunk()
 
         seqs, n_gen = self.runner._trim_eos(seqs, self.n_dec, self.eos)
         return seqs, n_gen, ttft, completion

@@ -119,3 +119,41 @@ def test_continuous_matches_generate_on_mesh():
     for i in range(2):
         np.testing.assert_array_equal(seqs[i], expect[: seqs.shape[1]])
     assert (n_gen == 6).all()
+
+
+def test_continuous_chunked_admission_matches_generate():
+    """Chunked admissions (vanilla_prefill_chunked_steps generators) produce
+    the same greedy tokens as whole-prefill admissions and as plain
+    generate() — and the scheduler actually interleaves decode chunks inside
+    an admission (later requests' prefills no longer stall running rows)."""
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(3)
+    prep, _ = build_batch(cfg, rng, with_labels=False)
+    _, params = init_params(cfg, prep)
+    runner = GlimpsePruneRunner(cfg, params, donate_cache=False)
+    max_new = 8
+    base = runner.generate(prep, max_new_tokens=max_new, do_selection=False)
+    expect = np.asarray(base.sequences)[0]
+
+    probe = runner.vanilla_prefill_chunked(prep, chunk_size=8)
+    R = int(probe[1].shape[1])
+
+    def one_row(t):
+        logits, valid, pos, kc, vc = t
+        return (logits[:1], valid[:1], pos[:, :1], kc[:, :1], vc[:, :1])
+
+    def chunked_thunk():
+        gen = runner.vanilla_prefill_chunked_steps(prep, chunk_size=8)
+        while True:
+            try:
+                yield next(gen)
+            except StopIteration as stop:
+                return one_row(stop.value)
+
+    b = ContinuousBatcher(runner, capacity=2, prefix_len=R,
+                          max_new_tokens=max_new, inter_steps=2,
+                          eos=-1, max_requests=3)
+    seqs, n_gen, ttft, completion = b.serve([chunked_thunk] * 3)
+    for i in range(3):
+        np.testing.assert_array_equal(seqs[i], expect)
+    assert (n_gen == max_new).all()
