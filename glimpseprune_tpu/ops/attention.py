@@ -52,9 +52,9 @@ def _use_flash(seq_len: int) -> bool:
 # shard_map boundary shardings automatically — enabling SP therefore
 # needs no model-code changes (mirrors parallel.shard_params).
 #
-# Scope: serving/prefill. The causal flash path under SP is inference-only
-# (q_positions has no vjp); training under SP differentiates through the
-# XLA fallback (set_attention_impl("xla")) or disables SP.
+# Scope: prefill (serving AND training — the q_positions flash path has a
+# FlashAttention-2-style custom vjp; only the int8 serving tiers remain
+# inference-only).
 
 _SP_CTX: Optional[tuple] = None  # (Mesh, axis_name)
 

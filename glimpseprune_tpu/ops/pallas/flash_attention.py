@@ -213,6 +213,14 @@ def _lse_kernel_adapter(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref,
             dense=False, lse_ref=lse_ref)
 
 
+def _qpos_lse_kernel_adapter(qseg_ref, kseg_ref, qpos_ref, q_ref, k_ref,
+                             v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *,
+                             sm_scale, causal, bq, bk):
+    _kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
+            acc_ref, sm_scale=sm_scale, causal=causal, bq=bq, bk=bk,
+            dense=False, qpos_ref=qpos_ref, lse_ref=lse_ref)
+
+
 def _dense_lse_kernel_adapter(q_ref, k_ref, v_ref, o_ref, lse_ref,
                               m_ref, l_ref, acc_ref, *,
                               sm_scale, causal, bq, bk):
@@ -329,6 +337,41 @@ def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, dense, res, g):
 _flash_attention_diff.defvjp(_flash_fwd, _flash_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _flash_attention_qpos_diff(q, k, v, qseg, kseg, qpos, causal, sm_scale,
+                               block_q, block_k, interpret):
+    return _flash_attention_impl(q, k, v, qseg, kseg, causal=causal,
+                                 sm_scale=sm_scale, block_q=block_q,
+                                 block_k=block_k, interpret=interpret,
+                                 dense=False, q_positions=qpos)
+
+
+def _flash_qpos_fwd(q, k, v, qseg, kseg, qpos, causal, sm_scale, block_q,
+                    block_k, interpret):
+    out, lse = _flash_attention_impl(q, k, v, qseg, kseg, causal=causal,
+                                     sm_scale=sm_scale, block_q=block_q,
+                                     block_k=block_k, interpret=interpret,
+                                     dense=False, q_positions=qpos,
+                                     return_lse=True)
+    return out, (q, k, v, qseg, kseg, qpos, out, lse)
+
+
+def _flash_qpos_bwd(causal, sm_scale, block_q, block_k, interpret, res, g):
+    q, k, v, qseg, kseg, qpos, out, lse = res
+    dq, dk, dv = _flash_bwd_impl(q, k, v, qseg, kseg, out, lse, g,
+                                 causal=causal, sm_scale=sm_scale,
+                                 interpret=interpret, q_positions=qpos)
+    import numpy as _np
+
+    zq = _np.zeros(qseg.shape, dtype=jax.dtypes.float0)
+    zk = _np.zeros(kseg.shape, dtype=jax.dtypes.float0)
+    zp = _np.zeros(qpos.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, zq, zk, zp
+
+
+_flash_attention_qpos_diff.defvjp(_flash_qpos_fwd, _flash_qpos_bwd)
+
+
 def flash_attention(
     q, k, v, q_segment_ids, kv_segment_ids,
     causal: bool = False,
@@ -365,12 +408,13 @@ def flash_attention(
     static 1/127 scale and v per-column per tile, both factoring out of
     the dot exactly — attention then runs BOTH dots at the int8 rate.
 
-    q_positions ([B, Sq] int32, INFERENCE-ONLY — no vjp): explicit GLOBAL
-    q slot positions for causal masking, for callers whose q rows are a
-    shard/chunk of a longer sequence (sequence-parallel prefill over a
-    mesh axis, chunked prefill): causal allows k slot t iff
-    t <= q_positions[s], where kv rows are the FULL sequence in slot
-    order. Requires causal=True and dense=False."""
+    q_positions ([B, Sq] int32): explicit GLOBAL q slot positions for
+    causal masking, for callers whose q rows are a shard/chunk of a longer
+    sequence (sequence-parallel prefill over a mesh axis, chunked
+    prefill): causal allows k slot t iff t <= q_positions[s], where kv
+    rows are the FULL sequence in slot order. Requires causal=True and
+    dense=False. Differentiable (the pallas backward threads the same
+    position masking) except combined with the int8 tiers."""
     if sm_scale is None:
         sm_scale = 1.0 / (q.shape[-1] ** 0.5)
     if q_segment_ids is None:
@@ -380,11 +424,15 @@ def flash_attention(
     assert not (pv_int8 and not qkv_int8), "pv_int8 rides the qkv_int8 tier"
     if q_positions is not None:
         assert causal and not dense, "q_positions implies causal, non-dense"
-        return _flash_attention_impl(
-            q, k, v, q_segment_ids, kv_segment_ids, causal=True,
-            sm_scale=float(sm_scale), block_q=block_q, block_k=block_k,
-            interpret=interpret, dense=False, qkv_int8=qkv_int8,
-            pv_int8=pv_int8, q_positions=q_positions)
+        if qkv_int8:  # int8 serving tier stays inference-only
+            return _flash_attention_impl(
+                q, k, v, q_segment_ids, kv_segment_ids, causal=True,
+                sm_scale=float(sm_scale), block_q=block_q, block_k=block_k,
+                interpret=interpret, dense=False, qkv_int8=True,
+                pv_int8=pv_int8, q_positions=q_positions)
+        return _flash_attention_qpos_diff(
+            q, k, v, q_segment_ids, kv_segment_ids, q_positions,
+            causal, float(sm_scale), block_q, block_k, interpret)
     if qkv_int8:
         return _flash_attention_impl(
             q, k, v, q_segment_ids, kv_segment_ids, causal=causal,
@@ -446,8 +494,8 @@ def _flash_attention_impl(
     in_specs = []
     args = []
     if return_lse:
-        assert not (qkv_int8 or q_positions is not None), \
-            "LSE emission (training backward) is bf16/plain-path only"
+        assert not qkv_int8, \
+            "LSE emission (training backward) is bf16-path only"
     if dense:
         # no segment refs at all: the kernel body compiles with zero mask
         # passes
@@ -463,7 +511,7 @@ def _flash_attention_impl(
     else:
         has_qpos = q_positions is not None
         if return_lse:
-            base = _lse_kernel_adapter
+            base = _qpos_lse_kernel_adapter if has_qpos else _lse_kernel_adapter
         elif has_qpos:
             base = _i8_qpos_kernel_adapter if qkv_int8 else _qpos_kernel_adapter
         else:
@@ -577,12 +625,13 @@ def _dense_kernel_adapter(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
 
 
 def _bwd_tile(qseg_ref, kseg_ref, q_ref, k_ref, lse_ref,
-              sm_scale, causal, bq, bk, iq, jk):
+              sm_scale, causal, bq, bk, iq, jk, qpos_ref=None):
     """Recompute the masked probability tile p [bq, bk] from (q, k, lse).
 
     Both backward kernels always pass segment refs (the dense forward's
     zero-segment wrapper arrays mask nothing), so there is no seg-less
-    variant here."""
+    variant here. qpos_ref: GLOBAL q positions (sequence-parallel shards),
+    mirroring the forward's q_positions masking."""
     scale2 = sm_scale * _LOG2E
     s2 = jax.lax.dot_general(
         q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
@@ -592,7 +641,10 @@ def _bwd_tile(qseg_ref, kseg_ref, q_ref, k_ref, lse_ref,
     kseg_row = kseg_ref[:, :]
     allowed = (qseg_col == kseg_row) & (qseg_col >= 0)
     if causal:
-        q_pos = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+        if qpos_ref is not None:
+            q_pos = qpos_ref[:, :].reshape(bq, 1)
+        else:
+            q_pos = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
         k_pos = jk * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
         allowed = allowed & (q_pos >= k_pos)
     s2 = jnp.where(allowed, s2, NEG_INF)
@@ -605,7 +657,8 @@ def _bwd_tile(qseg_ref, kseg_ref, q_ref, k_ref, lse_ref,
 
 
 def _bwd_dq_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                   dsum_ref, dq_ref, dq_acc, *, sm_scale, causal, bq, bk):
+                   dsum_ref, dq_ref, dq_acc, *, sm_scale, causal, bq, bk,
+                   qpos_ref=None):
     iq = pl.program_id(2)
     jk = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -614,7 +667,10 @@ def _bwd_dq_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     def _init():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    run = jk * bk <= iq * bq + bq - 1 if causal else True
+    if causal and qpos_ref is not None:
+        run = jnp.max(qpos_ref[:, :]) >= jk * bk
+    else:
+        run = jk * bk <= iq * bq + bq - 1 if causal else True
     if qseg_ref is not None:
         qs = qseg_ref[:, :]
         ks = kseg_ref[:, :]
@@ -626,7 +682,7 @@ def _bwd_dq_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     @pl.when(run)
     def _step():
         p = _bwd_tile(qseg_ref, kseg_ref, q_ref, k_ref, lse_ref,
-                      sm_scale, causal, bq, bk, iq, jk)
+                      sm_scale, causal, bq, bk, iq, jk, qpos_ref=qpos_ref)
         dp = jax.lax.dot_general(
             do_ref[:], v_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -644,7 +700,7 @@ def _bwd_dq_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
 def _bwd_dkv_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                     dsum_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
-                    sm_scale, causal, bq, bk):
+                    sm_scale, causal, bq, bk, qpos_ref=None):
     jk = pl.program_id(2)
     iq = pl.program_id(3)
     nq = pl.num_programs(3)
@@ -654,7 +710,10 @@ def _bwd_dkv_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    run = iq * bq + bq - 1 >= jk * bk if causal else True
+    if causal and qpos_ref is not None:
+        run = jnp.max(qpos_ref[:, :]) >= jk * bk
+    else:
+        run = iq * bq + bq - 1 >= jk * bk if causal else True
     if qseg_ref is not None:
         qs = qseg_ref[:, :]
         ks = kseg_ref[:, :]
@@ -666,7 +725,7 @@ def _bwd_dkv_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     @pl.when(run)
     def _step():
         p = _bwd_tile(qseg_ref, kseg_ref, q_ref, k_ref, lse_ref,
-                      sm_scale, causal, bq, bk, iq, jk)
+                      sm_scale, causal, bq, bk, iq, jk, qpos_ref=qpos_ref)
         dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
             p.astype(do_ref.dtype), do_ref[:], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -687,13 +746,30 @@ def _bwd_dkv_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         dv_ref[:] = dv_acc[:].astype(dv_ref.dtype)
 
 
+def _bwd_dq_qpos_adapter(qseg_ref, kseg_ref, qpos_ref, q_ref, k_ref, v_ref,
+                         do_ref, lse_ref, dsum_ref, dq_ref, dq_acc, *,
+                         sm_scale, causal, bq, bk):
+    _bwd_dq_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                   dsum_ref, dq_ref, dq_acc, sm_scale=sm_scale, causal=causal,
+                   bq=bq, bk=bk, qpos_ref=qpos_ref)
+
+
+def _bwd_dkv_qpos_adapter(qseg_ref, kseg_ref, qpos_ref, q_ref, k_ref, v_ref,
+                          do_ref, lse_ref, dsum_ref, dk_ref, dv_ref, dk_acc,
+                          dv_acc, *, sm_scale, causal, bq, bk):
+    _bwd_dkv_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                    dsum_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                    sm_scale=sm_scale, causal=causal, bq=bq, bk=bk,
+                    qpos_ref=qpos_ref)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret"),
 )
 def _flash_bwd_impl(q, k, v, q_segment_ids, kv_segment_ids, out, lse, g,
                     causal, sm_scale, block_q=512, block_k=512,
-                    interpret=False):
+                    interpret=False, q_positions=None):
     """Pallas backward: returns (dq, dk, dv) with dk/dv at GQA [B, Hkv]."""
     b, hq, sq, d = q.shape
     hkv = k.shape[1]
@@ -715,15 +791,26 @@ def _flash_bwd_impl(q, k, v, q_segment_ids, kv_segment_ids, out, lse, g,
     ksp = _pad_to(kv_segment_ids.astype(jnp.int32), 1, block_k, value=-2)[:, None, :]
     lsep = _pad_to(lse.astype(jnp.float32), 2, block_q, value=NEG_INF)[:, :, None, :]
     dsump = _pad_to(dsum, 2, block_q)[:, :, None, :]
+    has_qpos = q_positions is not None
+    qpp = (_pad_to(q_positions.astype(jnp.int32), 1, block_q)[:, None, :]
+           if has_qpos else None)
+    qpos_spec_dq = pl.BlockSpec((None, 1, block_q),
+                                lambda bi, h, x, y: (bi, 0, x),
+                                memory_space=pltpu.VMEM)
+    qpos_spec_dkv = pl.BlockSpec((None, 1, block_q),
+                                 lambda bi, h, y, x: (bi, 0, x),
+                                 memory_space=pltpu.VMEM)
 
     # ---- dq: grid (b, hq, iq, jk), jk innermost
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, causal=causal,
-                          bq=block_q, bk=block_k),
+        functools.partial(
+            _bwd_dq_qpos_adapter if has_qpos else _bwd_dq_kernel,
+            sm_scale=sm_scale, causal=causal, bq=block_q, bk=block_k),
         grid=(b, hq, sq_p // block_q, skv_p // block_k),
         in_specs=[
             pl.BlockSpec((None, 1, block_q), lambda bi, h, x, y: (bi, 0, x), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 1, block_k), lambda bi, h, x, y: (bi, 0, y), memory_space=pltpu.VMEM),
+        ] + ([qpos_spec_dq] if has_qpos else []) + [
             pl.BlockSpec((None, None, block_q, d_p), lambda bi, h, x, y: (bi, h, x, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, None, block_k, d_p), lambda bi, h, x, y: (bi, h // group, y, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, None, block_k, d_p), lambda bi, h, x, y: (bi, h // group, y, 0), memory_space=pltpu.VMEM),
@@ -740,16 +827,19 @@ def _flash_bwd_impl(q, k, v, q_segment_ids, kv_segment_ids, out, lse, g,
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qsp, ksp, qp, kp, vp, gp, lsep, dsump)[:, :, :sq, :d]
+    )(*([qsp, ksp] + ([qpp] if has_qpos else [])
+        + [qp, kp, vp, gp, lsep, dsump]))[:, :, :sq, :d]
 
     # ---- dk/dv: grid (b, hq, jk, iq), iq innermost
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
-                          bq=block_q, bk=block_k),
+        functools.partial(
+            _bwd_dkv_qpos_adapter if has_qpos else _bwd_dkv_kernel,
+            sm_scale=sm_scale, causal=causal, bq=block_q, bk=block_k),
         grid=(b, hq, skv_p // block_k, sq_p // block_q),
         in_specs=[
             pl.BlockSpec((None, 1, block_q), lambda bi, h, y, x: (bi, 0, x), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 1, block_k), lambda bi, h, y, x: (bi, 0, y), memory_space=pltpu.VMEM),
+        ] + ([qpos_spec_dkv] if has_qpos else []) + [
             pl.BlockSpec((None, None, block_q, d_p), lambda bi, h, y, x: (bi, h, x, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, None, block_k, d_p), lambda bi, h, y, x: (bi, h // group, y, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, None, block_k, d_p), lambda bi, h, y, x: (bi, h // group, y, 0), memory_space=pltpu.VMEM),
@@ -773,7 +863,8 @@ def _flash_bwd_impl(q, k, v, q_segment_ids, kv_segment_ids, out, lse, g,
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qsp, ksp, qp, kp, vp, gp, lsep, dsump)
+    )(*([qsp, ksp] + ([qpp] if has_qpos else [])
+        + [qp, kp, vp, gp, lsep, dsump]))
     dk = dk[:, :, :skv, :d]
     dv = dv[:, :, :skv, :d]
     if group > 1:

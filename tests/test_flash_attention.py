@@ -429,3 +429,50 @@ def test_flash_backward_mode_toggle():
         fa.set_flash_backward("pallas")
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_flash_qpos_backward_matches_monolithic_grads():
+    """Sharded-Q causal flash (q_positions) is now differentiable: dq of a
+    shard == the corresponding slice of the monolithic dq, and the kv grads
+    sum across shards to the monolithic dk/dv (linearity of the vjp)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from glimpseprune_tpu.ops.pallas.flash_attention import flash_attention
+
+    rng = np.random.default_rng(8)
+    B, Hq, Hkv, S, D = 1, 4, 2, 512, 32
+    q = jnp.asarray(rng.normal(size=(B, Hq, S, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    seg = jnp.zeros((B, S), jnp.int32).at[:, :23].set(-1)  # left padding
+    w = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+
+    def loss_full(q, k, v):
+        o = flash_attention(q, k, v, seg, seg, causal=True, interpret=True,
+                            block_q=128, block_k=128)
+        return (o * w).sum()
+
+    gq_full, gk_full, gv_full = jax.grad(loss_full, argnums=(0, 1, 2))(q, k, v)
+
+    n, sl = 4, S // 4
+    gk_sum = jnp.zeros_like(k)
+    gv_sum = jnp.zeros_like(v)
+    for i in range(n):
+        qpos = jnp.broadcast_to(i * sl + jnp.arange(sl), (B, sl))
+
+        def loss_shard(qi, k, v):
+            o = flash_attention(qi, k, v, seg[:, i * sl:(i + 1) * sl], seg,
+                                causal=True, interpret=True, block_q=128,
+                                block_k=128, q_positions=qpos)
+            return (o * w).sum()
+
+        gqi, gki, gvi = jax.grad(loss_shard, argnums=(0, 1, 2))(
+            q[:, :, i * sl:(i + 1) * sl], k, v)
+        np.testing.assert_allclose(
+            np.asarray(gqi), np.asarray(gq_full[:, :, i * sl:(i + 1) * sl]),
+            atol=1e-4, err_msg=f"dq shard {i}")
+        gk_sum = gk_sum + gki
+        gv_sum = gv_sum + gvi
+    np.testing.assert_allclose(np.asarray(gk_sum), np.asarray(gk_full), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gv_sum), np.asarray(gv_full), atol=1e-4)

@@ -168,13 +168,17 @@ def test_sp_generate_matches_single_device():
                                rtol=1e-4, atol=1e-4)
 
 
-def test_sp_train_step_runs():
-    """Training under SP differentiates through shard_map + the XLA
-    attention paths (the causal flash q_positions path is inference-only)."""
+@pytest.mark.parametrize("impl", ["auto", "flash_interpret"])
+def test_sp_train_step_runs(impl):
+    """Training under SP differentiates through shard_map + both attention
+    impls — flash_interpret exercises the q_positions custom vjp (the
+    pallas backward with global-position masking) inside the sharded
+    causal path."""
     import optax
 
     from glimpseprune_tpu.training import init_train_state, make_train_step
 
+    set_attention_impl(impl)
     cfg = tiny_test_config()
     rng = np.random.default_rng(0)
     prep, batch = build_batch(cfg, rng)
