@@ -521,14 +521,8 @@ class Qwen2_5_VL_GP(nn.Module):
                         image_embeds=None, packed_idx=None, img_slots=None,
                         img_valid=None, logits_last_only: bool = False):
         c = self.cfg
-        embeds = self.text.embed(input_ids)
-        if image_embeds is not None:
-            B = input_ids.shape[0]
-            rows = _gather_rows(
-                jnp.broadcast_to(image_embeds[None], (B,) + image_embeds.shape),
-                packed_idx, img_valid,
-            )
-            embeds = _scatter_rows(embeds, img_slots, rows, img_valid)
+        embeds = self.embed_with_images(
+            input_ids, image_embeds, packed_idx, img_slots, img_valid)
         cos, sin = mrope_cos_sin(
             position_ids, c.text.head_dim, c.text.rope_theta, c.text.mrope_section
         )
@@ -699,13 +693,12 @@ class Qwen2_5_VL_GP(nn.Module):
         return embeds
 
     def prefill_chunk(self, chunk_embeds, position_ids, k_cache, v_cache,
-                      kv_valid, write_idx, chunk_valid, full_logits: bool = False):
+                      kv_valid, write_idx, chunk_valid, logit_index):
         """One chunked-prefill step: C pre-scattered token embeddings
-        against the (partially filled) decode cache; returns the chunk's
-        LAST-slot logits [B, 1, V] (or the full [B, C, V] when full_logits,
-        for the tail chunk whose last REAL slot is mid-chunk) + the updated
-        cache (language.decode_step S_new=C semantics — intra-chunk causal,
-        stale-slot masking)."""
+        against the (partially filled) decode cache; returns logits [B,1,V]
+        at chunk slot `logit_index` (the lm_head never runs on the other
+        C-1 slots) + the updated cache (language.decode_step S_new=C
+        semantics — intra-chunk causal, stale-slot masking)."""
         c = self.cfg
         cos, sin = mrope_cos_sin(
             position_ids, c.text.head_dim, c.text.rope_theta, c.text.mrope_section
@@ -713,7 +706,7 @@ class Qwen2_5_VL_GP(nn.Module):
         return self.text.decode_step(
             None, cos.astype(self.dtype), sin.astype(self.dtype),
             k_cache, v_cache, kv_valid, write_idx,
-            inputs_embeds=chunk_embeds, logits_last_only=not full_logits,
+            inputs_embeds=chunk_embeds, logits_index=logit_index,
             new_valid=chunk_valid,
         )
 

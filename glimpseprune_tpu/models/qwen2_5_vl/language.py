@@ -399,6 +399,8 @@ class TextDecoder(nn.Module):
         inputs_embeds: Optional[jnp.ndarray] = None,  # [B, S_new, H]:
         # pre-scattered embeddings (chunked prefill over image spans)
         logits_last_only: bool = False,
+        logits_index: Optional[jnp.ndarray] = None,  # traced chunk slot:
+        # run the lm_head on exactly this one slot (chunked prefill)
         new_valid: Optional[jnp.ndarray] = None,  # [B, S_new] chunk-internal
         # key validity (left-padded rows carry pads inside early chunks)
     ):
@@ -427,8 +429,11 @@ class TextDecoder(nn.Module):
             body, (x, k_cache, v_cache), (self.layers, jnp.arange(L))
         )
         x = self.final_norm(x)
-        if logits_last_only:
+        if logits_index is not None:
             # chunked prefill: the full [B, C, V] head matmul per chunk
-            # would re-pay the whole-sequence lm_head cost
+            # would re-pay the whole-sequence lm_head cost — slice the one
+            # needed slot BEFORE the head
+            x = jax.lax.dynamic_slice_in_dim(x, logits_index, 1, axis=1)
+        elif logits_last_only:
             x = x[:, -1:]
         return self.logits(x), k_new, v_new

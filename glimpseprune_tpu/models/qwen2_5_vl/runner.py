@@ -468,10 +468,8 @@ class GlimpsePruneRunner:
             lambda p, *a: self.model.apply(p, *a, method=self.model.embed_with_images)
         )
         self._prefill_chunk = jax.jit(
-            lambda p, *a, full_logits=False: self.model.apply(
-                p, *a, full_logits=full_logits,
-                method=self.model.prefill_chunk),
-            donate_argnums=(3, 4), static_argnames=("full_logits",),
+            lambda p, *a: self.model.apply(p, *a, method=self.model.prefill_chunk),
+            donate_argnums=(3, 4),
         )
         self._decode = jax.jit(self._decode_impl, donate_argnums=(3, 4) if donate_cache else ())
         self._staged = jax.jit(
@@ -955,14 +953,24 @@ class GlimpsePruneRunner:
         (T = prealloc_t or S) — plug into _decode_loop(prealloc_t=T).
         """
         kv_quant = getattr(self.cfg.text, "kv_cache_quant", "none")
-        gen = self._chunked_prefill_gen(
-            prep, chunk_size, prealloc_t,
-            tier="" if kv_quant == "none" else kv_quant)
+        tier = "" if kv_quant == "none" else kv_quant
+        gen = self._chunked_prefill_gen(prep, chunk_size, prealloc_t)
         while True:
             try:
                 next(gen)
             except StopIteration as stop:
-                return stop.value
+                logits, valid, pos, kc, vc = stop.value
+                if tier == "int8":
+                    # prefill attention ran FULL PRECISION chunk-to-chunk;
+                    # quantize ONCE at the end — the same invariant as the
+                    # monolithic _build_decode_cache (ops/kv_cache.py)
+                    from glimpseprune_tpu.ops.kv_cache import quantize_kv
+
+                    kq, ks = quantize_kv(kc)
+                    vq, vs = quantize_kv(vc)
+                    kc = {"q": kq, "s": ks}
+                    vc = {"q": vq, "s": vs}
+                return logits, valid, pos, kc, vc
 
     def vanilla_prefill_chunked_steps(self, prep: PreparedInputs,
                                       chunk_size: int):
@@ -971,13 +979,15 @@ class GlimpsePruneRunner:
         PrefillOut-shaped tuple with the kv stacks sliced to the real
         sequence and kept RAW — ContinuousBatcher's cache_fill_rows applies
         the batch cache's quant tier at fill."""
-        out = yield from self._chunked_prefill_gen(prep, chunk_size, None, "")
+        out = yield from self._chunked_prefill_gen(prep, chunk_size, None)
         logits, valid, pos, kc, vc = out
         S = valid.shape[1]
         return logits, valid, pos, kc[:, :, :S], vc[:, :, :S]
 
     def _chunked_prefill_gen(self, prep: PreparedInputs, chunk_size: int,
-                             prealloc_t: Optional[int], tier: str):
+                             prealloc_t: Optional[int]):
+        # always a RAW cache here: chunk-to-chunk attention stays full
+        # precision; quantized tiers convert once after the last chunk
         cfg = self.cfg
         inputs = self._device_inputs(prep, False)
         le_len = cfg.gp.le_length if cfg.gp.has_le else 0
@@ -1017,11 +1027,15 @@ class GlimpsePruneRunner:
         T = max(int(prealloc_t) if prealloc_t is not None else S, Sp)
         L = cfg.text.num_hidden_layers
         shape = (L, B, T, cfg.text.num_key_value_heads, cfg.text.head_dim)
-        k_cache = alloc_cache(shape, embeds.dtype, tier)
-        v_cache = alloc_cache(shape, embeds.dtype, tier)
+        k_cache = alloc_cache(shape, embeds.dtype, "")
+        v_cache = alloc_cache(shape, embeds.dtype, "")
         kv_valid = jnp.concatenate(
             [valid, jnp.zeros((B, T - S), dtype=bool)], axis=1)
 
+        # the final REAL slot (S-1) sits mid-chunk when C does not divide S;
+        # the head runs on exactly one slot per chunk (logit_index), so the
+        # tail chunk never pays a [B, C, V] lm_head
+        rel = (S - 1) - (n_chunks - 1) * C
         logits = None
         for i in range(n_chunks):
             sl = slice(i * C, (i + 1) * C)
@@ -1030,13 +1044,10 @@ class GlimpsePruneRunner:
                 {"params": self.params}, embeds[:, sl], pos_p[:, :, sl],
                 k_cache, v_cache, kv_valid, jnp.int32(i * C),
                 kv_valid[:, sl],  # chunk-internal key validity (left pads)
-                full_logits=last,
+                jnp.int32(rel if last else C - 1),
             )
             if not last:
                 yield i  # scheduler interleave point
-        # the final REAL slot (S-1) sits mid-chunk when C does not divide S
-        rel = (S - 1) - (n_chunks - 1) * C
-        logits = jax.lax.dynamic_slice_in_dim(logits, rel, 1, axis=1)
         return logits, valid, pos, k_cache, v_cache
 
     def _decode_loop(self, logits, r_valid, r_pos, kv_k, kv_v, max_new_tokens,

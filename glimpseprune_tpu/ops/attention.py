@@ -373,8 +373,9 @@ def causal_segment_attention(
     Under sequence parallelism the sequence dim shards over the mesh axis:
     Q local, K/V all-gathered (GQA keeps the gather Hkv/Hq the size of Q's),
     causal masking against GLOBAL slot positions via the flash kernel's
-    q_positions path (inference-only) or the XLA mask. Padding semantics
-    are position-based (absolute slots), identical to the unsharded paths."""
+    q_positions path (differentiable — its own pallas backward) or the XLA
+    mask. Padding semantics are position-based (absolute slots), identical
+    to the unsharded paths."""
     b, s, hq, d = q.shape
     sp = _sp_split(s)
     if sp is not None:

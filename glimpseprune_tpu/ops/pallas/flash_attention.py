@@ -358,9 +358,34 @@ def _flash_qpos_fwd(q, k, v, qseg, kseg, qpos, causal, sm_scale, block_q,
 
 def _flash_qpos_bwd(causal, sm_scale, block_q, block_k, interpret, res, g):
     q, k, v, qseg, kseg, qpos, out, lse = res
-    dq, dk, dv = _flash_bwd_impl(q, k, v, qseg, kseg, out, lse, g,
-                                 causal=causal, sm_scale=sm_scale,
-                                 interpret=interpret, q_positions=qpos)
+    if FLASH_BACKWARD == "pallas":
+        dq, dk, dv = _flash_bwd_impl(q, k, v, qseg, kseg, out, lse, g,
+                                     causal=causal, sm_scale=sm_scale,
+                                     interpret=interpret, q_positions=qpos)
+    else:
+        # the set_flash_backward("xla") debug fallback must cover this path
+        # too: reference attention with the same global-position causal mask
+        # (_reference_attention has no qpos arg)
+        skv = k.shape[2]
+
+        def ref_qpos(q_, k_, v_):
+            hq, hkv = q_.shape[1], k_.shape[1]
+            kk = jnp.repeat(k_, hq // hkv, axis=1) if hq != hkv else k_
+            vv = jnp.repeat(v_, hq // hkv, axis=1) if hq != hkv else v_
+            logits = jnp.einsum("bhsd,bhtd->bhst", q_, kk,
+                                preferred_element_type=jnp.float32) * sm_scale
+            allowed = (qseg[:, None, :, None] == kseg[:, None, None, :]) &                 (qseg >= 0)[:, None, :, None]
+            if causal:
+                allowed = allowed & (
+                    qpos[:, None, :, None] >= jnp.arange(skv)[None, None, None, :]
+                )
+            logits = jnp.where(allowed, logits, NEG_INF)
+            probs = jax.nn.softmax(logits, axis=-1)
+            probs = jnp.where(allowed.any(-1, keepdims=True), probs, 0.0)
+            return jnp.einsum("bhst,bhtd->bhsd", probs.astype(vv.dtype), vv)
+
+        _, vjp = jax.vjp(ref_qpos, q, k, v)
+        dq, dk, dv = vjp(g)
     import numpy as _np
 
     zq = _np.zeros(qseg.shape, dtype=jax.dtypes.float0)

@@ -222,9 +222,16 @@ class ContinuousBatcher:
                     # continue back-to-back) once the remaining budget just
                     # covers the mandatory admissions + drain chunks.
                     def budget_left():
+                        # mandatory chunks still owed: one fall-through per
+                        # unadmitted request, <= need per unadmitted wave,
+                        # and the CONCURRENT drain of live rows (their
+                        # remaining chunks overlap -> max, not sum)
                         n_unadmitted = len(pending) + 1
-                        waves_left = (n_unadmitted + len(live) + B - 1) // B
-                        reserved = n_unadmitted + waves_left * need
+                        waves_left = (n_unadmitted + B - 1) // B
+                        live_rem = max(
+                            (need - (state["gchunk"] - admit_chunk[sl])
+                             for sl in live), default=0)
+                        reserved = n_unadmitted + waves_left * need + live_rem
                         return state["gchunk"] + reserved + 1 <= self.total_chunks
 
                     while True:

@@ -476,3 +476,40 @@ def test_flash_qpos_backward_matches_monolithic_grads():
         gv_sum = gv_sum + gvi
     np.testing.assert_allclose(np.asarray(gk_sum), np.asarray(gk_full), atol=1e-4)
     np.testing.assert_allclose(np.asarray(gv_sum), np.asarray(gv_full), atol=1e-4)
+
+
+def test_flash_qpos_backward_mode_toggle():
+    """set_flash_backward('xla') covers the q_positions path too: both
+    backward modes agree on sharded-Q grads."""
+    import importlib
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    fa = importlib.import_module("glimpseprune_tpu.ops.pallas.flash_attention")
+
+    rng = np.random.default_rng(9)
+    B, H, S, D = 1, 2, 256, 32
+    sl = 64
+    q = jnp.asarray(rng.normal(size=(B, H, sl, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, S, D)), jnp.float32)
+    qseg = jnp.zeros((B, sl), jnp.int32)
+    kseg = jnp.zeros((B, S), jnp.int32).at[:, :11].set(-1)
+    qpos = jnp.broadcast_to(128 + jnp.arange(sl), (B, sl))
+
+    def loss(q, k, v):
+        o = fa.flash_attention(q, k, v, qseg, kseg, causal=True,
+                               interpret=True, block_q=64, block_k=64,
+                               q_positions=qpos)
+        return (o ** 2).sum()
+
+    try:
+        fa.set_flash_backward("pallas")
+        gp = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        fa.set_flash_backward("xla")
+        gx = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        fa.set_flash_backward("pallas")
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
