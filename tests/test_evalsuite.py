@@ -279,7 +279,10 @@ def test_llm_client_concurrent_scoring_order_and_speedup():
             scores = client.score(queries, comps, answers)
             elapsed = _time.perf_counter() - t0
             assert scores == [i / 100.0 for i in range(n)]  # input order kept
-            assert elapsed < n * 0.05 / 4  # >4x over serial
+            # concurrency check: comfortably faster than SERIAL (n*50ms).
+            # >2x is loose on purpose — the suite runs alongside other
+            # jobs and a 4x bar flaked under full-machine load
+            assert elapsed < n * 0.05 / 2
             # serial fallback path still works
             client1 = LLMClient(f"http://127.0.0.1:{port}", concurrency=1)
             assert client1.score(["q"], ["s7"], ["a"]) == [0.07]
