@@ -474,3 +474,47 @@ def test_sft_labels_mode_parity(stacks):
             atol=ATOL_MASK, rtol=0, err_msg=f"row {b} SFT-mode mask logits")
     np.testing.assert_allclose(float(le_loss), float(out.le_loss),
                                atol=5e-5, err_msg="le CE loss differs")
+
+
+def test_image_preprocessing_matches_fork_process_images():
+    """Our 'pad' preprocessing == the fork's process_images pipeline run
+    with the INSTALLED transformers CLIPImageProcessor (expand2square with
+    the CLIP-mean background, bicubic resize, CLIP normalization) — the
+    one llava input surface the shared-pixels differentials bypass.
+    BIT-exact across aspect ratios."""
+    import importlib.util
+    import sys
+
+    import numpy as np
+    import torch
+    from PIL import Image
+    from transformers import CLIPImageProcessor
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    spec = importlib.util.spec_from_file_location(
+        "llava_gp_mm_utils", "/root/reference/llava_gp/mm_utils.py")
+    mm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mm)
+
+    proc = CLIPImageProcessor(
+        size={"shortest_edge": 336}, crop_size={"height": 336, "width": 336},
+        do_center_crop=True, do_resize=True, do_normalize=True,
+        do_rescale=True, do_convert_rgb=True,
+        image_mean=[0.48145466, 0.4578275, 0.40821073],
+        image_std=[0.26862954, 0.26130258, 0.27577711],
+    )
+    rng = np.random.default_rng(7)
+    for h, w in [(123, 310), (336, 336), (48, 72), (500, 200)]:
+        arr = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        sq = mm.expand2square(
+            Image.fromarray(arr),
+            tuple(int(x * 255) for x in proc.image_mean))
+        ref = proc.preprocess(sq, return_tensors="pt")["pixel_values"][0]
+        ref = ref.permute(1, 2, 0).numpy()  # CHW -> HWC
+
+        ours = llava_normalize(expand_to_square_and_resize(arr, 336))
+        # bit-exact: same PIL bicubic resample, same pad color, same
+        # normalize constants
+        np.testing.assert_allclose(ours, ref, atol=1e-6,
+                                   err_msg=f"size {(h, w)}")
