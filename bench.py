@@ -786,12 +786,48 @@ def _assert_device_reachable(timeout_s: int = 180):
         raise SystemExit(1)
 
 
+def _evict_background_ladder():
+    """Only ONE timed workload may touch the chip (CLAUDE.md). A detached
+    measurement ladder (/tmp/chip_ladder*.sh, pid in /tmp/ladder.pid) may be
+    waiting for the tunnel or mid-run when the driver launches bench —
+    terminate its process group by EXACT recorded pid so this bench's
+    numbers are clean. Ladder-internal bench invocations opt out via
+    BENCH_FROM_LADDER=1."""
+    import signal
+    import time as _time
+
+    if os.environ.get("BENCH_FROM_LADDER"):
+        return
+    try:
+        with open("/tmp/ladder.pid") as f:
+            pid = int(f.read().strip())
+    except (OSError, ValueError):
+        return
+    try:
+        pgid = os.getpgid(pid)
+    except ProcessLookupError:
+        return
+    if pgid == os.getpgid(0):
+        return  # same group as us: never self-terminate
+    sys.stderr.write(
+        f"bench: stopping background measurement ladder (pid {pid}) — "
+        "one timed workload at a time\n")
+    try:
+        os.killpg(pgid, signal.SIGTERM)
+        _time.sleep(3)
+        os.killpg(pgid, signal.SIGKILL)
+    except (ProcessLookupError, PermissionError):
+        pass
+    _time.sleep(2)  # let any in-flight device work drain
+
+
 def main():
     # default = the reference's flagship 7B (int8 so it fits one chip);
     # fall back through smaller shapes on tunnel/compile failures.
     from glimpseprune_tpu.utils.platform import honor_platform_env
 
     honor_platform_env()
+    _evict_background_ladder()
     _assert_device_reachable()
     scale = os.environ.get("BENCH_SCALE", "7b")
     if scale == "7b" and not os.environ.get("BENCH_QUANT"):
