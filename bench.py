@@ -28,8 +28,11 @@ init real weights on the host and quantize them instead.
 Env knobs: BENCH_SCALE=7b|3b|1b, BENCH_QUANT=int8|int4|'',
 BENCH_ACT_QUANT=int8|prefill|none (dynamic W8A8 on the int8 kernels — the v5e
 native int8 MXU serving tier, applied to BOTH sides),
-BENCH_QK_INT8=1 (int8-QK flash attention riding the act_quant tier),
-BENCH_PV_INT8=1 (extend to the PV dot; implies/requires BENCH_QK_INT8),
+BENCH_QK_INT8=1|vit|text|both (int8-QK flash attention riding the act_quant
+tier; "vit"/"text" scope it to one tower — int8 attention wins in the ViT,
+loses in the LLM, r3 ladder),
+BENCH_PV_INT8=1|vit|text|both (extend to the PV dot; implies BENCH_QK_INT8
+at the same scope),
 BENCH_KV_QUANT=int8|none, BENCH_MAX_PIXELS=N (0 -> ~1M px / 1.3k tokens),
 BENCH_DECODE=N steps, BENCH_BATCH, BENCH_USE_REF, BENCH_REDUCE_LAYER,
 BENCH_SERVE_ROWS_P/_U, BENCH_SERVE_CHUNK, BENCH_REAL_WEIGHTS=1 (host-init
@@ -121,8 +124,24 @@ def _quant_from_env(cfg):
         from glimpseprune_tpu.quantization import quantized_config
 
         act = os.environ.get("BENCH_ACT_QUANT", "none") or "none"
-        pv8 = bool(int(os.environ.get("BENCH_PV_INT8", "0")))
-        qk8 = pv8 or bool(int(os.environ.get("BENCH_QK_INT8", "0")))
+
+        def _attn8(name):
+            # "1"/"both" = both towers; "vit"/"vision"/"text" scope the tier
+            # to one tower (r3 ladder: int8 attention wins in the ViT, loses
+            # in the LLM — see quantization.quantized_config)
+            v = os.environ.get(name, "0").strip().lower()
+            if v in ("", "0", "none", "false"):
+                return False
+            if v in ("1", "true", "both"):
+                return True
+            if v in ("vit", "vision"):
+                return "vision"
+            if v == "text":
+                return "text"
+            raise ValueError(f"{name} must be 0/1/vit/text/both, got {v!r}")
+
+        pv8 = _attn8("BENCH_PV_INT8")
+        qk8 = _attn8("BENCH_QK_INT8") or pv8
         cfg = quantized_config(cfg, quant, act_quant=act, attn_qk_int8=qk8,
                                attn_pv_int8=pv8)
     kv_quant = os.environ.get("BENCH_KV_QUANT", "int8")
@@ -749,11 +768,18 @@ def run_serving_continuous(scale: str):
     }
 
 
-def _assert_device_reachable(timeout_s: int = 180):
+def _assert_device_reachable(timeout_s: int = 180, attempts: int = 3,
+                             retry_wait_s: int = 60):
     """Fail fast (clear stderr + exit 1) instead of hanging the driver when
     the TPU tunnel is wedged: device init runs in a kill-able subprocess (an
-    in-process jax import that hangs cannot be interrupted portably)."""
+    in-process jax import that hangs cannot be interrupted portably).
+
+    Retries: back-to-back bench invocations (the measurement ladder) see
+    transient probe failures right after the previous process released the
+    chip — the tunnel needs ~1-3 min to accept a fresh attachment — so a
+    failed probe waits and retries before declaring the tunnel down."""
     import subprocess
+    import time as _t
 
     if os.environ.get("BENCH_SKIP_DEVICE_PROBE"):
         return
@@ -770,20 +796,29 @@ def _assert_device_reachable(timeout_s: int = 180):
         "x = jnp.ones((256, 256), jnp.bfloat16); "
         "print(float((x @ x).sum()))"
     )
-    try:
-        p = subprocess.run(
-            [sys.executable, "-c", child],
-            timeout=timeout_s, capture_output=True, text=True,
-        )
-        ok = p.returncode == 0
-    except subprocess.TimeoutExpired:
-        ok = False
-    if not ok:
-        sys.stderr.write(
-            f"bench: device unreachable (probe failed/timed out after "
-            f"{timeout_s}s) — the TPU tunnel is likely down; aborting "
-            "instead of hanging\n")
-        raise SystemExit(1)
+    ok = False
+    for attempt in range(attempts):
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", child],
+                timeout=timeout_s, capture_output=True, text=True,
+            )
+            ok = p.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            return
+        if attempt < attempts - 1:
+            sys.stderr.write(
+                f"bench: device probe failed (attempt {attempt + 1}/"
+                f"{attempts}) — waiting {retry_wait_s}s for the tunnel to "
+                "accept a fresh attachment\n")
+            _t.sleep(retry_wait_s)
+    sys.stderr.write(
+        f"bench: device unreachable ({attempts} probes failed/timed out, "
+        f"{timeout_s}s each) — the TPU tunnel is likely down; aborting "
+        "instead of hanging\n")
+    raise SystemExit(1)
 
 
 def _evict_background_ladder():

@@ -401,8 +401,8 @@ def flash_attention(
     q, k, v, q_segment_ids, kv_segment_ids,
     causal: bool = False,
     sm_scale: Optional[float] = None,
-    block_q: int = 1024,
-    block_k: int = 1024,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: bool = False,
     dense: bool = False,
     qkv_int8: bool = False,
@@ -414,8 +414,12 @@ def flash_attention(
 
     Default blocks 1024x1024: the TPU-swept optimum at both tower shapes
     (512x512 was grid-overhead-bound: 44 -> 84 TF/s on the ViT full-att
-    shape, 60 -> 88 TF/s on the 16k causal LLM shape; 2048-blocks exceed
-    VMEM and fail to compile).
+    shape, 60 -> 88 TF/s on the 16k causal LLM shape; bf16 2048-blocks
+    exceed VMEM and fail to compile). Exception: int8 k/v tiles halve the
+    VMEM footprint, so the qkv_int8 tier defaults block_k to 2048 when the
+    kv sequence fills it (r3 ladder: 156 -> 433 TF/s on the ViT full-att
+    shape, 163 -> 207 on the causal LLM shape) — pass block_k explicitly
+    to override.
 
     dense=True is a STATIC caller promise that every position is valid and
     in one segment (single unpadded image / unpadded batch row): the kernel
@@ -442,6 +446,10 @@ def flash_attention(
     position masking) except combined with the int8 tiers."""
     if sm_scale is None:
         sm_scale = 1.0 / (q.shape[-1] ** 0.5)
+    if block_q is None:
+        block_q = 1024
+    if block_k is None:
+        block_k = 2048 if (qkv_int8 and k.shape[2] > 1024) else 1024
     if q_segment_ids is None:
         assert dense, "segment ids are required unless dense=True"
         q_segment_ids = jnp.zeros((q.shape[0], q.shape[2]), jnp.int32)

@@ -271,7 +271,7 @@ def quantize_structure(tree, mode: str = "int8", group: int = INT4_GROUP):
 
 
 def quantized_config(cfg, mode: str = "int8", act_quant: str = "none",
-                     attn_qk_int8: bool = False, attn_pv_int8: bool = False):
+                     attn_qk_int8=False, attn_pv_int8=False):
     """ModelConfig -> same config with int8/int4 weight declarations in both
     towers (pair with quantize_int8/int4(params) when building a runner).
     act_quant="int8" additionally turns on the dynamic W8A8 matmul tier
@@ -280,25 +280,46 @@ def quantized_config(cfg, mode: str = "int8", act_quant: str = "none",
     HBM-bound decode scan on the weight-only dequant path — the serving
     default. attn_qk_int8 extends the tier into the flash-attention QK^T
     (per-row dynamic q/k int8; inference-only); attn_pv_int8 additionally
-    moves the PV dot to the int8 MXU mode (static-1/127 p, per-column v)."""
+    moves the PV dot to the int8 MXU mode (static-1/127 p, per-column v).
+
+    The attn tiers take a bool (both towers) or a SCOPE string "vision" /
+    "text" / "both": the r3 chip ladder showed int8 attention is a big win
+    in the ViT (D=80 pads to 128 MXU lanes — int8 claws the padding waste
+    back: 76 -> 433 TF/s on the full-att shape) but a LOSS in the LLM
+    (D=128 doesn't pad; bf16 already runs at 234 TF/s vs 207 int8), so the
+    serving default scopes them to "vision"."""
     import dataclasses
+
+    def _scoped(flag, tower: str, name: str) -> bool:
+        if isinstance(flag, str):
+            if flag not in ("vision", "text", "both"):
+                raise ValueError(
+                    f"{name} must be bool or 'vision'/'text'/'both', got {flag!r}")
+            return flag in (tower, "both")
+        return bool(flag)
 
     if act_quant in ("int8", "prefill"):
         assert mode == "int8", "act_quant requires int8 weights"
     elif act_quant != "none":
         raise ValueError(f"act_quant must be none/int8/prefill, got {act_quant!r}")
-    if attn_qk_int8:
-        assert act_quant != "none", "attn_qk_int8 rides the act_quant tier"
-    if attn_pv_int8:
-        assert attn_qk_int8, "attn_pv_int8 rides the attn_qk_int8 tier"
+    towers = {}
+    for tower in ("vision", "text"):
+        qk8 = _scoped(attn_qk_int8, tower, "attn_qk_int8")
+        pv8 = _scoped(attn_pv_int8, tower, "attn_pv_int8")
+        if qk8:
+            assert act_quant != "none", "attn_qk_int8 rides the act_quant tier"
+        if pv8:
+            assert qk8, \
+                f"attn_pv_int8 rides the attn_qk_int8 tier (tower {tower!r})"
+        towers[tower] = (qk8, pv8)
     return dataclasses.replace(
         cfg,
         text=dataclasses.replace(cfg.text, weight_quant=mode,
                                  act_quant=act_quant,
-                                 attn_qk_int8=attn_qk_int8,
-                                 attn_pv_int8=attn_pv_int8),
+                                 attn_qk_int8=towers["text"][0],
+                                 attn_pv_int8=towers["text"][1]),
         vision=dataclasses.replace(cfg.vision, weight_quant=mode,
                                    act_quant=act_quant,
-                                   attn_qk_int8=attn_qk_int8,
-                                   attn_pv_int8=attn_pv_int8),
+                                   attn_qk_int8=towers["vision"][0],
+                                   attn_pv_int8=towers["vision"][1]),
     )

@@ -329,6 +329,50 @@ def test_flash_int8_qk_close_to_bf16(causal, dense, pv):
         assert np.abs(np.asarray(i8)[:, :, -17:]).max() == 0.0
 
 
+def test_flash_int8_default_block_k_bump_parity():
+    """The qkv_int8 tier defaults block_k to 2048 when the kv sequence
+    fills it (int8 tiles halve VMEM; r3 ladder 156->433 TF/s on the ViT
+    full-att shape). Tiling must not change semantics: the auto-bumped
+    default equals an explicit block_k=1024 run on a >1024-kv case with a
+    padding tail crossing the 2048-block boundary."""
+    rng = np.random.default_rng(5)
+    b, hq, hkv, sq, skv, d = 1, 2, 1, 256, 2050, 64
+    q = jnp.asarray(rng.standard_normal((b, hq, sq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, hkv, skv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, hkv, skv, d)), jnp.float32)
+    qseg = jnp.zeros((b, sq), jnp.int32)
+    kseg_np = np.zeros((b, skv), np.int32)
+    kseg_np[:, -30:] = -1  # padding tail inside the last 2048-block
+    kseg = jnp.asarray(kseg_np)
+
+    # qk-only: q/k quantization is per-ROW (tiling-invariant), so the
+    # auto-bumped default must match an explicit block_k=1024 run exactly
+    # up to f32 accumulation order
+    auto = flash_attention(q, k, v, qseg, kseg, interpret=True,
+                           qkv_int8=True)
+    pinned = flash_attention(q, k, v, qseg, kseg, interpret=True,
+                             block_k=1024, qkv_int8=True)
+    np.testing.assert_allclose(np.asarray(auto, np.float32),
+                               np.asarray(pinned, np.float32),
+                               rtol=1e-4, atol=1e-4)
+
+    # +pv: v quantizes per-column PER TILE, so the grid legitimately moves
+    # with block_k — check closeness to the bf16 kernel instead
+    allpv = flash_attention(q, k, v, qseg, kseg, interpret=True,
+                            qkv_int8=True, pv_int8=True)
+    bf16 = flash_attention(q, k, v, qseg, kseg, interpret=True)
+    a = np.asarray(bf16, np.float64).reshape(-1)
+    c = np.asarray(allpv, np.float64).reshape(-1)
+    cos = (a @ c) / (np.linalg.norm(a) * np.linalg.norm(c) + 1e-12)
+    assert cos > 0.998, cos
+    # padding tail stays exactly zero through the bumped-block int8 path
+    assert np.abs(np.asarray(allpv)[:, :, :, :]).max() > 0
+    assert np.abs(np.asarray(
+        flash_attention(k.repeat(2, axis=1), k, v, kseg, kseg,
+                        interpret=True, qkv_int8=True)
+        )[:, :, -30:]).max() == 0.0
+
+
 def test_flash_pallas_backward_matches_reference_bidirectional():
     """FlashAttention-2-style pallas backward (interpret) == XLA-reference
     grads on the ViT-like case: bidirectional, multi-segment, padding."""

@@ -278,6 +278,32 @@ def test_w8a8_pipeline_close_to_fp():
                                np.asarray(out_p.logits), rtol=1e-5, atol=1e-5)
 
 
+def test_attn_int8_tower_scoping():
+    """attn_qk_int8/attn_pv_int8 accept a tower scope ("vision"/"text"/
+    "both") — the serving default scopes int8 attention to the ViT, where
+    the D=80->128 MXU padding makes it a win (r3 ladder), leaving the
+    already-efficient D=128 LLM path bf16."""
+    import pytest as _pytest
+
+    cfg = tiny_test_config()
+    vit = quantized_config(cfg, "int8", act_quant="prefill",
+                           attn_qk_int8="vision", attn_pv_int8="vision")
+    assert vit.vision.attn_qk_int8 and vit.vision.attn_pv_int8
+    assert not vit.text.attn_qk_int8 and not vit.text.attn_pv_int8
+    txt = quantized_config(cfg, "int8", act_quant="prefill",
+                           attn_qk_int8="text")
+    assert txt.text.attn_qk_int8 and not txt.vision.attn_qk_int8
+    both = quantized_config(cfg, "int8", act_quant="prefill",
+                            attn_qk_int8="both", attn_pv_int8=True)
+    assert both.text.attn_pv_int8 and both.vision.attn_pv_int8
+    with _pytest.raises(ValueError):
+        quantized_config(cfg, "int8", act_quant="prefill", attn_qk_int8="gpu")
+    with _pytest.raises(AssertionError):
+        # pv on a tower where qk is off
+        quantized_config(cfg, "int8", act_quant="prefill",
+                         attn_qk_int8="text", attn_pv_int8="vision")
+
+
 def test_int8_kv_cache_attention_exact_and_pipeline():
     """int8 KV-cache tier (ops/kv_cache.py): the per-token-head scale
     factors out of both decode matmuls, so quantized-cache attention must
