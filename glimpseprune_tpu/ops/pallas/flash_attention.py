@@ -415,11 +415,16 @@ def flash_attention(
     Default blocks 1024x1024: the TPU-swept optimum at both tower shapes
     (512x512 was grid-overhead-bound: 44 -> 84 TF/s on the ViT full-att
     shape, 60 -> 88 TF/s on the 16k causal LLM shape; bf16 2048-blocks
-    exceed VMEM and fail to compile). Exception: int8 k/v tiles halve the
+    exceed VMEM and fail to compile). Exception: int8 k tiles halve the
     VMEM footprint, so the qkv_int8 tier defaults block_k to 2048 when the
-    kv sequence fills it (r3 ladder: 156 -> 433 TF/s on the ViT full-att
-    shape, 163 -> 207 on the causal LLM shape) — pass block_k explicitly
-    to override.
+    kv sequence divides it (the %2048 guard keeps dense=True callers with
+    skv in {1024k : k odd} on the dense fast path instead of silently
+    demoting to the masked path). On-chip validated at the decisive
+    64k-patch ViT shape (r4 ladder, [1,16,65536,80]): qk8-bk2048 compiles
+    and runs 94.5 TF/s and all8-bk2048 93.7 vs bf16 91.0 and all8-bk1024
+    81.7 — the bump is right for both int8 tiers, but the int8 win at the
+    real operating shape is ~4% kernel-level (the 2x r3 numbers at S=8192
+    were tunnel-noise-dominated). Pass block_k explicitly to override.
 
     dense=True is a STATIC caller promise that every position is valid and
     in one segment (single unpadded image / unpadded batch row): the kernel
@@ -449,7 +454,7 @@ def flash_attention(
     if block_q is None:
         block_q = 1024
     if block_k is None:
-        block_k = 2048 if (qkv_int8 and k.shape[2] > 1024) else 1024
+        block_k = 2048 if (qkv_int8 and k.shape[2] % 2048 == 0) else 1024
     if q_segment_ids is None:
         assert dense, "segment ids are required unless dense=True"
         q_segment_ids = jnp.zeros((q.shape[0], q.shape[2]), jnp.int32)

@@ -283,11 +283,14 @@ def quantized_config(cfg, mode: str = "int8", act_quant: str = "none",
     moves the PV dot to the int8 MXU mode (static-1/127 p, per-column v).
 
     The attn tiers take a bool (both towers) or a SCOPE string "vision" /
-    "text" / "both": the r3 chip ladder showed int8 attention is a big win
-    in the ViT (D=80 pads to 128 MXU lanes — int8 claws the padding waste
-    back: 76 -> 433 TF/s on the full-att shape) but a LOSS in the LLM
-    (D=128 doesn't pad; bf16 already runs at 234 TF/s vs 207 int8), so the
-    serving default scopes them to "vision"."""
+    "text" / "both": the r3 chip ladder showed int8 attention is a net e2e
+    LOSS on the LLM's native-D=128 path (+33 ms pruned prefill — the quant
+    pass buys nothing where bf16 already fills the MXU), and the r4 ladder's
+    decisive 64k-patch timing showed the ViT-side win is real but small
+    (qk8 94.5 vs bf16 91.0 TF/s — the 2x r3 numbers at S=8192 were
+    tunnel-noise-dominated). The tiers therefore ship OFF by default;
+    "vision" is the only scope with a measured kernel-level win (see
+    docs/ROUND4.md for the e2e verdict)."""
     import dataclasses
 
     def _scoped(flag, tower: str, name: str) -> bool:

@@ -99,14 +99,22 @@ class ContinuousBatcher:
 
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
         def _admit(kc, vc, kvv, ntok, lpb, ck, cv, rvalid, rlogits, rpos,
-                   slot, gstep):
+                   slot, gstep, key):
             kc = cache_fill_rows(kc, ck, slot)
             vc = cache_fill_rows(vc, cv, slot)
             row_valid = jnp.concatenate(
                 [rvalid[0], jnp.zeros((T - rvalid.shape[1],), bool)])
             kvv = jax.lax.dynamic_update_slice(
                 kvv, row_valid[None], (slot, jnp.int32(0)))
-            tok = jnp.argmax(rlogits[0, -1], axis=-1).astype(jnp.int32)
+            # first token after admission rides the SAME temperature path as
+            # generate() (runner._run_decode): sampled admissions must not
+            # silently bias the first token to greedy argmax
+            if temp and temp > 0:
+                tok = jax.random.categorical(
+                    key, rlogits[:, -1].astype(jnp.float32) / temp, axis=-1
+                )[0].astype(jnp.int32)
+            else:
+                tok = jnp.argmax(rlogits[0, -1], axis=-1).astype(jnp.int32)
             ntok = jax.lax.dynamic_update_slice(ntok, tok[None], (slot,))
             lp = rpos[:, 0, -1].astype(jnp.int32) - gstep
             lpb = jax.lax.dynamic_update_slice(
@@ -135,7 +143,7 @@ class ContinuousBatcher:
         rlogits, rvalid, rpos, ck, cv = prefill_out
         kc, vc, kvv, ntok, lpb = self._admit(
             kc, vc, kvv, ntok, lpb, ck, cv, rvalid, rlogits, rpos,
-            jnp.int32(0), jnp.int32(0))
+            jnp.int32(0), jnp.int32(0), jax.random.PRNGKey(0))
         toks, *_ = self._chunk(
             {"params": self.runner.params}, ntok, lpb, kc, vc, kvv,
             jnp.int32(0), jax.random.PRNGKey(0))
@@ -247,11 +255,16 @@ class ContinuousBatcher:
                     raise ValueError(
                         f"admission takes one row, got B={rvalid.shape[0]} "
                         "(slice the prefill output per request)")
+                # split BEFORE the chunk splits, mirroring _run_decode's
+                # (first-token split, then per-chunk splits) order — a
+                # capacity-1 batcher therefore reproduces generate()'s
+                # sampling stream exactly
+                state["key"], sub = jax.random.split(state["key"])
                 (state["kc"], state["vc"], state["kvv"], state["ntok"],
                  state["lpb"]) = self._admit(
                     state["kc"], state["vc"], state["kvv"], state["ntok"],
                     state["lpb"], ck, cv, rvalid, rlogits, rpos,
-                    jnp.int32(slot), jnp.int32(state["gchunk"] * inter))
+                    jnp.int32(slot), jnp.int32(state["gchunk"] * inter), sub)
                 first = int(np.asarray(state["ntok"])[slot])  # sync: on host
                 ttft[req] = time.perf_counter() - t0
                 slot_req[slot] = req

@@ -9,6 +9,7 @@ slot reuse must recycle capacity, and eos must complete a row early.
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 from glimpseprune_tpu.config import tiny_test_config
 from glimpseprune_tpu.models.qwen2_5_vl.runner import GlimpsePruneRunner
@@ -84,6 +85,51 @@ def test_continuous_overrun_guard():
         raise AssertionError("expected schedule-bound ValueError")
     except ValueError as e:
         assert "overrun" in str(e)
+
+
+def test_continuous_sampled_admission_matches_generate():
+    """temperature>0: the batcher must ride generate()'s sampling path for
+    the first token after admission (runner._run_decode's categorical), not
+    silently argmax it. With capacity=1 the rng streams align exactly
+    (admission split == first-token split; chunk splits match when
+    inter_steps == check_eos_every), so a single request's sampled tokens
+    equal generate()'s row 0 token-for-token."""
+    max_new = 8
+    temp = 2.0
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(3)
+    prep, _ = build_batch(cfg, rng, with_labels=False)
+    _, params = init_params(cfg, prep)
+    runner = GlimpsePruneRunner(cfg, params)
+    base = runner.generate(prep, max_new_tokens=max_new, temperature=temp,
+                           rng=jax.random.PRNGKey(7), check_eos_every=2)
+    dev_inputs = runner._device_inputs(prep, use_ref_masks=False)
+
+    def prefill():
+        o = runner._prefill({"params": runner.params}, dev_inputs,
+                            out_len=prep.out_len, use_ref_masks=False)
+        return (o.logits[:1], o.valid[:1], o.position_ids[:, :1],
+                o.kv_k[:, :1], o.kv_v[:, :1])
+
+    rlogits = prefill()[0]
+    R = int(prefill()[1].shape[1])
+    b = ContinuousBatcher(runner, capacity=1, prefix_len=R,
+                          max_new_tokens=max_new, inter_steps=2,
+                          eos=-1, temperature=temp, max_requests=1)
+    seqs, n_gen, ttft, completion = b.serve(
+        [prefill], rng=jax.random.PRNGKey(7))
+
+    # pin the admission sampling directly: first token == categorical under
+    # the admission split (and, at this seed, != the greedy argmax the old
+    # code always produced)
+    sub = jax.random.split(jax.random.PRNGKey(7))[1]
+    want_first = int(jax.random.categorical(
+        sub, rlogits[:, -1].astype(jnp.float32) / temp, axis=-1)[0])
+    assert int(seqs[0, 0]) == want_first
+    assert want_first != int(np.argmax(np.asarray(rlogits)[0, -1]))
+
+    expect = np.asarray(base.sequences)[0]
+    np.testing.assert_array_equal(seqs[0], expect)
 
 
 def test_continuous_matches_generate_on_mesh():

@@ -6,8 +6,11 @@
 #
 # Launch detached (one chip workload at a time; kill ladder 1 first):
 #   setsid nohup bash tools/chip_ladder2.sh >/tmp/ladder2_launcher.log 2>&1 &
-#   ps -eo pid,cmd | grep chip_ladder2   # record pid -> /tmp/ladder.pid
+# The script records its own pid into /tmp/ladder.pid (it is the setsid
+# group leader), so bench.py's _evict_background_ladder can always evict it
+# — no manual ps/grep step (which would also match the grep itself).
 export BENCH_FROM_LADDER=1
+echo $$ > /tmp/ladder.pid
 cd "$(dirname "$0")/.."
 LOG=/tmp/ladder2.log
 probe() {
@@ -17,7 +20,15 @@ x = jnp.ones((512,512), jnp.bfloat16)
 print(float((x@x).sum()))" >/dev/null 2>&1
 }
 echo "[$(date +%T)] ladder2 waiting for tunnel..." >> $LOG
-until probe; do sleep 30; done
+# bounded wait: give the tunnel 2 h, then bail instead of looping forever
+DEADLINE=$(( $(date +%s) + 7200 ))
+until probe; do
+  if [ "$(date +%s)" -ge "$DEADLINE" ]; then
+    echo "[$(date +%T)] tunnel never came back within 2 h; giving up" >> $LOG
+    exit 1
+  fi
+  sleep 30
+done
 echo "[$(date +%T)] 64k-patch int8-attn kernel timing (decisive shape)" >> $LOG
 timeout 1200 python -u tools/i8attn_microbench.py --s-vit 65536 --skip-llm >> $LOG 2>&1
 echo "[$(date +%T)] e2e vit-scoped int8 attention" >> $LOG
