@@ -224,9 +224,13 @@ def compute_ref_logps(model, frozen, batch: GRPOBatch) -> jnp.ndarray:
 class GRPOTrainer:
     """GlimpsePrune+ orchestration: prune -> sample G -> score -> step.
 
-    Deviations vs the reference noted inline; mask generation uses the
-    trained fuser directly (gen_mask_usage_ratio mixing and the judge live
-    behind `score_fn` / `use_ref_masks`).
+    Sampling (masks AND completions) is ON-POLICY through the current
+    LoRA adapter, matching the reference's policy-model generate
+    (train_qwen_gp.py:1221-1243); the kd reference logprobs are the only
+    adapter-disabled forward (:1167-1181). `frozen` may be reassigned
+    between steps (e.g. when the base loc/le recipe keeps training the new
+    modules concurrently, as the reference's plus stage does in its joint
+    loss :1531-1553) — the policy tree is rebuilt from it every step.
     """
 
     def __init__(self, cfg, runner, dataset, tokenize, detokenize,
@@ -270,6 +274,25 @@ class GRPOTrainer:
             make_grpo_loss_step(self.policy_model, self.optimizer,
                                 reward_weight, kd_weight)
         )
+        # ON-POLICY sampling runner: the reference generates completions (and
+        # masks) through the policy model with the adapter ENABLED
+        # (train_qwen_gp.py:1140-1148 mask forward, :1221-1243 generate);
+        # only the kd reference logprobs disable it (:1167-1181). A second
+        # runner over insert_lora(frozen, lora) gives the same semantics —
+        # its jitted phases take params as arguments, so refreshing
+        # `.params` each step recompiles nothing (no remat: sampling has no
+        # backward).
+        from glimpseprune_tpu.models.qwen2_5_vl.runner import GlimpsePruneRunner
+        from glimpseprune_tpu.training.lora import insert_lora
+
+        self._insert_lora = insert_lora
+        scfg = dataclasses.replace(
+            cfg, text=dataclasses.replace(cfg.text, lora_rank=lora_rank)
+        )
+        self.policy_runner = GlimpsePruneRunner(
+            scfg, insert_lora(self.frozen, self.lora), dtype=runner.dtype,
+            model=self.model.clone(cfg=scfg),
+        )
         self.seed = seed
         # One host RNG for the whole run so the gen-vs-ref mask mixing draws
         # fresh per step (reference samples fresh each step,
@@ -301,12 +324,17 @@ class GRPOTrainer:
         prep = prepare_inputs(cfg, prompts, images, normed_bboxes=bboxes,
                               seq_multiple=8, patch_multiple=16)
 
+        # refresh the on-policy runner with the current adapter (pure tree
+        # re-arrangement: base leaves are shared, only the small lora
+        # leaves are new)
+        self.policy_runner.params = self._insert_lora(self.frozen, self.lora)
+
         use_ref = False
         if bboxes is not None and prep.ref_token_masks is not None:
             # mix generated masks into the ref masks per the usage ratio:
             # predict masks first, then overwrite the ref rows selected for
             # generated-mask usage, and prune with use_ref_masks=True
-            ml, _ = self.runner.glimpse_delayed(prep, use_ref_masks=False)
+            ml, _ = self.policy_runner.glimpse_delayed(prep, use_ref_masks=False)
             gen_keep = np.asarray(
                 jax.nn.sigmoid(ml[-1]) > cfg.gp.reduce_threshold
             )
@@ -316,11 +344,12 @@ class GRPOTrainer:
             prep.ref_token_masks = mixed
             use_ref = True
 
-        out = self.runner._prefill(
-            {"params": self.frozen}, self.runner._device_inputs(prep, use_ref),
+        out = self.policy_runner._prefill(
+            {"params": self.policy_runner.params},
+            self.policy_runner._device_inputs(prep, use_ref),
             out_len=prep.out_len, use_ref_masks=use_ref,
         )
-        seqs, n_gen = self.runner._decode_loop(
+        seqs, n_gen = self.policy_runner._decode_loop(
             out.logits, out.valid, out.position_ids, out.kv_k, out.kv_v,
             self.max_new_tokens, cfg.eos_token_id,
             temperature=self.temperature, rng=rng_key,

@@ -20,4 +20,13 @@ def honor_platform_env() -> None:
         return
     import jax
 
+    if plat != "cpu" and "cpu" not in plat.split(","):
+        # keep the host CPU backend registered alongside the accelerator
+        # (first entry stays the default): host-side real-weight init
+        # (bench BENCH_REAL_WEIGHTS, convergence_run --quant,
+        # profile_train_step) does jax.devices("cpu") — pinning
+        # JAX_PLATFORMS=axon alone would hide it. A cpu-pinned run keeps
+        # the accelerator plugin OUT (tunnel-down protection), so "cpu"
+        # stays exactly "cpu".
+        plat = plat + ",cpu"
     jax.config.update("jax_platforms", plat)

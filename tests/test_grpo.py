@@ -122,6 +122,58 @@ def test_grpo_trainer_step():
     assert max(jax.tree_util.tree_leaves(moved)) > 0
 
 
+def test_grpo_sampling_is_on_policy():
+    """Completions are sampled through the CURRENT adapter (reference
+    generates via the policy model, train_qwen_gp.py:1221-1243): the policy
+    runner carries lora slots, refreshes them from self.lora at every step,
+    and a large adapter visibly changes greedy decoding vs the frozen base."""
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(0)
+    prep, _ = build_batch(cfg, rng, with_labels=False)
+    _, params = init_params(cfg, prep)
+    runner = GlimpsePruneRunner(cfg, params)
+    samples = [TrainSample("q?", "a", "d0.jpg")]
+
+    def load_image(path):
+        r = np.random.default_rng(1)
+        return r.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+
+    tr = GRPOTrainer(
+        cfg, runner, None, lambda t: [5 + ord(c) % 200 for c in t[:8]],
+        lambda ids: " ".join(map(str, ids)),
+        num_generations=2, max_new_tokens=2, score_fn="dummy", lora_rank=2,
+        learning_rate=1e-3,
+    )
+    q = tr.policy_runner.params["text"]["layers"]["self_attn"]["q_proj"]
+    assert "lora_a" in q and "lora_b" in q
+    tr.step_on_batch(samples, load_image, jax.random.PRNGKey(3))
+    lora_after_1 = np.asarray(tr.lora["text/layers/self_attn/q_proj/kernel"]["b"])
+    assert np.abs(lora_after_1).max() > 0  # step 1 moved the adapter
+    tr.step_on_batch(samples, load_image, jax.random.PRNGKey(4))
+    # step 2 sampled with step-1's adapter in the policy tree
+    lb = np.asarray(
+        tr.policy_runner.params["text"]["layers"]["self_attn"]["q_proj"]["lora_b"])
+    np.testing.assert_array_equal(lb, lora_after_1)
+
+    # a large adapter changes greedy completions vs the frozen base
+    tr.lora = jax.tree_util.tree_map(lambda x: x + 0.5, tr.lora)
+    tr.policy_runner.params = tr._insert_lora(tr.frozen, tr.lora)
+    out_p = tr.policy_runner._prefill(
+        {"params": tr.policy_runner.params},
+        tr.policy_runner._device_inputs(prep, False),
+        out_len=prep.out_len, use_ref_masks=False)
+    out_f = runner._prefill(
+        {"params": runner.params}, runner._device_inputs(prep, False),
+        out_len=prep.out_len, use_ref_masks=False)
+    sp, _ = tr.policy_runner._decode_loop(
+        out_p.logits, out_p.valid, out_p.position_ids, out_p.kv_k, out_p.kv_v,
+        4, -1)
+    sf, _ = runner._decode_loop(
+        out_f.logits, out_f.valid, out_f.position_ids, out_f.kv_k, out_f.kv_v,
+        4, -1)
+    assert not np.array_equal(np.asarray(sp), np.asarray(sf))
+
+
 def test_score_funcs():
     assert SCORE_FUNCS.get("precision_match")(["q"], ["yes"], ["yes"]) == [1.0]
     # reference format rule (train_qwen_gp.py:767-778): exactly ONE integer

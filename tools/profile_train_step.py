@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--quant", default="int8", choices=["", "int8", "int4"])
     ap.add_argument("--img-side", type=int, default=3584,
                     help="3584 px ~= 16.4k visual tokens (reference regime)")
+    ap.add_argument("--max-pixels", type=int, default=12845056,
+                    help="smart_resize cap; default = the reference's "
+                         "training cap (train_qwen_gp.py:1645-1648)")
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--lr", type=float, default=1e-4)
     args = ap.parse_args()
@@ -65,7 +68,8 @@ def main():
     prep = prepare_inputs(cfg, [prompt], [img], seq_multiple=seq_mult,
                           patch_multiple=patch_mult,
                           normed_bboxes=[[[0.2, 0.2, 0.5, 0.5]]],
-                          answer_ids=[[9, 10, 11, 12]])
+                          answer_ids=[[9, 10, 11, 12]],
+                          max_pixels=args.max_pixels or None)
     n_img_tokens = int(np.sum(np.asarray(prep.input_ids) == cfg.image_token_id))
     print(f"image {args.img_side}px -> {n_img_tokens} visual tokens, "
           f"seq {prep.input_ids.shape[1]}, packed patches {prep.patches.shape[0]}")
