@@ -162,6 +162,10 @@ def run_inference(
                     "answer": s.answer,
                     "response": responses[b],
                     "num_gen_tokens": num_gen[b],
+                    # lets tools/compare_server.py render the source image
+                    # next to the mask overlay (reference
+                    # results_vis_compare.py resolves images per-dataset)
+                    "img_path": s.img_path,
                 }
                 if keep is not None:
                     n_tok = int(prep.n_img_tokens[b])
