@@ -206,6 +206,17 @@ def test_int4_pipeline_close_to_fp():
     # hidden 64): the quantization-step bound above is the exactness check,
     # this is the sanity floor
     assert cos > 0.9, cos
+    # mask logits + keep decisions track the fp pipeline (serving-tier
+    # quality guard, VERDICT r3 #2; same pattern as the int8 test above
+    # with 4-bit-looser floors)
+    ma = np.asarray(out_fp.mask_logits, np.float64).reshape(-1)
+    mb = np.asarray(out_q4.mask_logits, np.float64).reshape(-1)
+    mcos = ((ma - ma.mean()) @ (mb - mb.mean())) / (
+        np.linalg.norm(ma - ma.mean()) * np.linalg.norm(mb - mb.mean()) + 1e-12
+    )
+    assert mcos > 0.9, mcos
+    agree = (np.asarray(out_fp.keep_img) == np.asarray(out_q4.keep_img)).mean()
+    assert agree > 0.6, agree
 
 
 def test_w8a8_matmul_close_to_dequant():

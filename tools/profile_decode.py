@@ -33,7 +33,8 @@ def main():
 
     cfg = build_cfg(scale)
     if os.environ.get("BENCH_QUANT"):
-        cfg = quantized_config(cfg)
+        # honor the tier value (BENCH_QUANT=int4 measures the int4 decode)
+        cfg = quantized_config(cfg, os.environ["BENCH_QUANT"])
     model = Qwen2_5_VL_GP(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
     tc = cfg.text
     L, B = tc.num_hidden_layers, 1

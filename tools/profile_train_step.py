@@ -87,21 +87,24 @@ def main():
         jnp.asarray(prep.le_start), prep.out_len,
     )
     if args.quant and args.scale != "tiny":
-        # host-init real weights then quantize (convergence_run.py path)
+        # fast host-init real weights then quantize (utils/fastinit.py; the
+        # exact flax init takes 20+ min for 7B on this machine's one core —
+        # a step-TIME profile only needs realistic magnitudes)
         from glimpseprune_tpu.quantization import (
             quantize_int4,
             quantize_int8,
             quantized_config,
         )
+        from glimpseprune_tpu.utils.fastinit import fast_random_params
 
         cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            fp_params = jax.jit(model0.init, static_argnums=(16,))(
-                *jax.device_put(init_args[:-1], cpu), prep.out_len
-            )["params"]
         qfn = quantize_int8 if args.quant == "int8" else quantize_int4
-        params = jax.device_put(qfn(fp_params), jax.devices()[0])
-        del fp_params
+        with jax.default_device(cpu):
+            fp_params = fast_random_params(model0, init_args[:-1], prep.out_len)
+            qparams = qfn(fp_params)
+            del fp_params
+        params = jax.device_put(qparams, jax.devices()[0])
+        del qparams
         cfg = quantized_config(cfg, args.quant)
     else:
         params = jax.jit(model0.init, static_argnums=(16,))(*init_args)["params"]
