@@ -279,14 +279,10 @@ class Qwen2_5_VL_GP(nn.Module):
                     collect_kv=False,
                 )
             x = self.text.final_norm(x)
-            logits = self.text.logits(x).astype(jnp.float32)
-            shift_logits = logits[:, :-1]
-            shift_labels = labels[:, 1:]
-            mask = shift_labels != -100
-            onehot = jax.nn.one_hot(jnp.where(mask, shift_labels, 0), logits.shape[-1])
-            logp = jax.nn.log_softmax(shift_logits, axis=-1)
-            nll = -(onehot * logp).sum(-1)
-            le_loss = (nll * mask).sum() / jnp.maximum(mask.sum(), 1)
+            # chunked CE: the whole-sequence head materializes [B, S, V]
+            # (9.3 GB of bf16 temps at the 16k operating point — OOM);
+            # see TextDecoder.chunked_nll
+            le_loss = self.text.chunked_nll(x, labels)
 
         # ---- predict mask logits
         harvest_dbg = None

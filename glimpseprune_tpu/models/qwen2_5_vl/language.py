@@ -280,6 +280,73 @@ class TextDecoder(nn.Module):
         return _dense(x, self.lm_head_params, self.dtype,
                       self.cfg.act_quant == "int8")
 
+    def chunked_nll(self, x, labels, chunk: int = 512):
+        """Shifted next-token mean NLL WITHOUT materializing [B, S, V] logits.
+
+        The 16k-token 7B train step OOMs if the LM loss runs the head over
+        the whole sequence: XLA's memory dump shows two bf16
+        [1,16448,152064] temps of 4.66 GB each (the head matmul output and
+        the one-hot), 9.3 GB of a 21.8 GB total against 15.75 GB of HBM
+        (docs/ROUND4.md). Here the head matmul + logsumexp + label gather
+        run per C-token chunk under `jax.checkpoint` inside one `lax.scan`:
+        the peak temp is a single [B, C, V] f32 chunk (~300 MB at C=512),
+        recomputed in the backward pass. Mathematically identical to
+        log_softmax + one-hot over the full sequence (reference loss
+        semantics: shift + ignore_index=-100 token mean,
+        train_qwen_gp.py:1531-1553 via the HF CausalLM loss).
+
+        x: [B, S, H] post-final-norm hidden. labels: [B, S] with -100 pads.
+        """
+        B, S, H = x.shape
+        xs = x[:, :-1]
+        ys = labels[:, 1:].astype(jnp.int32)
+        s1 = S - 1
+        C = min(chunk, s1)
+        pad = (-s1) % C
+        if pad:
+            xs = jnp.pad(xs, ((0, 0), (0, pad), (0, 0)))
+            ys = jnp.pad(ys, ((0, 0), (0, pad)), constant_values=-100)
+        n = (s1 + pad) // C
+        xs = xs.reshape(B, n, C, H).transpose(1, 0, 2, 3)
+        ys = ys.reshape(B, n, C).transpose(1, 0, 2)
+
+        # pure closures over the head params so the chunk fn can live inside
+        # lax.scan (no flax module call inside the scan body)
+        if self.cfg.tie_word_embeddings:
+            table = self.embed_tokens.embedding
+            dt = self.dtype
+
+            def head(xc):
+                return jnp.dot(xc.astype(dt), table.astype(dt).T)
+        else:
+            hp = self.lm_head_params
+            a8 = self.cfg.act_quant == "int8"
+            dt = self.dtype
+
+            def head(xc):
+                return _dense(xc, hp, dt, a8)
+
+        def chunk_nll(xc, yc):
+            lg = head(xc).astype(jnp.float32)
+            lse = jax.nn.logsumexp(lg, axis=-1)
+            m = yc != -100
+            tgt = jnp.take_along_axis(
+                lg, jnp.where(m, yc, 0)[..., None], axis=-1
+            )[..., 0]
+            return ((lse - tgt) * m).sum(), m.sum()
+
+        chunk_nll = jax.checkpoint(chunk_nll)
+
+        def body(carry, inp):
+            tot, cnt = carry
+            s, m = chunk_nll(*inp)
+            return (tot + s, cnt + m), None
+
+        (tot, cnt), _ = jax.lax.scan(
+            body, (jnp.float32(0.0), jnp.int32(0)), (xs, ys)
+        )
+        return tot / jnp.maximum(cnt, 1).astype(jnp.float32)
+
     def run_layers(
         self,
         x: jnp.ndarray,

@@ -147,3 +147,50 @@ def test_remat_matches_no_remat():
     b = jax.tree_util.tree_leaves(outs[1][0].trainable)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-6)
+
+
+def test_chunked_nll_equals_full_ce():
+    """chunked_nll (scan+remat over C-token slices) must equal the full
+    [B, S, V] log_softmax + one-hot CE it replaced — incl. odd sequence
+    lengths that force tail padding, and grads through the hidden."""
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(3)
+    prep, batch = build_batch(cfg, rng)
+    model, params = init_params(cfg, prep)
+
+    B, S = batch["input_ids"].shape
+    H = cfg.text.hidden_size
+    x = jnp.asarray(rng.standard_normal((B, S, H)), jnp.float32)
+    labels = np.full((B, S), -100, np.int32)
+    labels[0, 5:S - 2] = rng.integers(0, cfg.text.vocab_size, S - 7)
+    labels[1, 3:9] = rng.integers(0, cfg.text.vocab_size, 6)
+    labels = jnp.asarray(labels)
+
+    def full_ce(xx):
+        logits = model.apply(
+            {"params": params}, xx,
+            method=lambda m, h: m.text.logits(m.text.final_norm(h)),
+        ).astype(jnp.float32)
+        sl = logits[:, :-1]
+        yl = labels[:, 1:]
+        m = yl != -100
+        onehot = jax.nn.one_hot(jnp.where(m, yl, 0), logits.shape[-1])
+        nll = -(onehot * jax.nn.log_softmax(sl, axis=-1)).sum(-1)
+        return (nll * m).sum() / jnp.maximum(m.sum(), 1)
+
+    def chunked(xx, chunk):
+        return model.apply(
+            {"params": params}, xx,
+            method=lambda m, h: m.text.chunked_nll(
+                m.text.final_norm(h), labels, chunk=chunk
+            ),
+        )
+
+    want = float(full_ce(x))
+    for chunk in (4, 7, 512):  # 7 does not divide S-1 -> tail padding
+        got = float(chunked(x, chunk))
+        np.testing.assert_allclose(got, want, rtol=2e-5)
+
+    gw = jax.grad(lambda xx: full_ce(xx))(x)
+    gc = jax.grad(lambda xx: chunked(xx, 4))(x)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(gw), atol=2e-4)
