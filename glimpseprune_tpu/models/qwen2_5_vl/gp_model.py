@@ -550,6 +550,33 @@ class Qwen2_5_VL_GP(nn.Module):
         )
         return self.text.logits(self.text.final_norm(x))
 
+    def completion_logprobs(self, prompt_embeds, prompt_valid, prompt_pos,
+                            completion_ids, completion_valid, completion_pos):
+        """completion_logits + token-logprob gather in one pass, but (a) the
+        head runs only on the T completion-predicting positions (not the
+        R+T full sequence — ~R/T x fewer head FLOPs at R~1.4k, T~64) and
+        (b) per-C-token chunks never materialize [B, T, V] logits
+        (TextDecoder.chunked_token_logprobs). The GRPO policy/reference
+        logprob forward (reference train_qwen_gp.py:1273-1339)."""
+        c = self.cfg
+        ce = self.text.embed(completion_ids)
+        embeds = jnp.concatenate([prompt_embeds, ce], axis=1)
+        valid = jnp.concatenate([prompt_valid, completion_valid], axis=1)
+        pos = jnp.concatenate([prompt_pos, completion_pos], axis=2)
+        cos, sin = mrope_cos_sin(
+            pos, c.text.head_dim, c.text.rope_theta, c.text.mrope_section
+        )
+        x, _, _ = self.text.run_layers(
+            embeds, cos.astype(self.dtype), sin.astype(self.dtype), valid,
+            collect_kv=False,
+        )
+        x = self.text.final_norm(x)
+        r = prompt_embeds.shape[1]
+        # hidden at position r-1 predicts completion token 0, etc.
+        return self.text.chunked_token_logprobs(
+            x[:, r - 1 : -1], completion_ids
+        )
+
     def text_prefill_logits(self, input_ids, valid, position_ids):
         """Teacher-forcing logits over a (possibly mixed prompt+completion)
         token sequence — the GRPO policy/reference logprob forward

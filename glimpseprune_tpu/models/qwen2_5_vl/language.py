@@ -310,21 +310,7 @@ class TextDecoder(nn.Module):
         xs = xs.reshape(B, n, C, H).transpose(1, 0, 2, 3)
         ys = ys.reshape(B, n, C).transpose(1, 0, 2)
 
-        # pure closures over the head params so the chunk fn can live inside
-        # lax.scan (no flax module call inside the scan body)
-        if self.cfg.tie_word_embeddings:
-            table = self.embed_tokens.embedding
-            dt = self.dtype
-
-            def head(xc):
-                return jnp.dot(xc.astype(dt), table.astype(dt).T)
-        else:
-            hp = self.lm_head_params
-            a8 = self.cfg.act_quant == "int8"
-            dt = self.dtype
-
-            def head(xc):
-                return _dense(xc, hp, dt, a8)
+        head = self._head_fn()
 
         def chunk_nll(xc, yc):
             lg = head(xc).astype(jnp.float32)
@@ -346,6 +332,53 @@ class TextDecoder(nn.Module):
             body, (jnp.float32(0.0), jnp.int32(0)), (xs, ys)
         )
         return tot / jnp.maximum(cnt, 1).astype(jnp.float32)
+
+    def _head_fn(self):
+        """Pure closure computing head logits from hidden — usable inside
+        lax.scan bodies (no flax module call there)."""
+        if self.cfg.tie_word_embeddings:
+            table = self.embed_tokens.embedding
+            dt = self.dtype
+
+            def head(xc):
+                return jnp.dot(xc.astype(dt), table.astype(dt).T)
+        else:
+            hp = self.lm_head_params
+            a8 = self.cfg.act_quant == "int8"
+            dt = self.dtype
+
+            def head(xc):
+                return _dense(xc, hp, dt, a8)
+        return head
+
+    def chunked_token_logprobs(self, x, tokens, chunk: int = 512):
+        """[B, T, H] hidden + [B, T] token ids -> [B, T] f32 log p(token),
+        never materializing [B, T, V] logits (chunked_nll's memory argument,
+        applied to the GRPO teacher-forcing logprob forward — at 7B the
+        G=8-generation policy+reference logits would be ~2x 4.6 GB bf16)."""
+        B, T, H = x.shape
+        C = min(chunk, T)
+        pad = (-T) % C
+        ys = tokens.astype(jnp.int32)
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            ys = jnp.pad(ys, ((0, 0), (0, pad)))
+        n = (T + pad) // C
+        xs = x.reshape(B, n, C, H).transpose(1, 0, 2, 3)
+        ys = ys.reshape(B, n, C).transpose(1, 0, 2)
+        head = self._head_fn()
+
+        def chunk_lp(xc, yc):
+            lg = head(xc).astype(jnp.float32)
+            lse = jax.nn.logsumexp(lg, axis=-1)
+            tgt = jnp.take_along_axis(lg, yc[..., None], axis=-1)[..., 0]
+            return tgt - lse
+
+        chunk_lp = jax.checkpoint(chunk_lp)
+        _, out = jax.lax.scan(
+            lambda c, inp: (c, chunk_lp(*inp)), None, (xs, ys)
+        )
+        return out.transpose(1, 0, 2).reshape(B, n * C)[:, :T]
 
     def run_layers(
         self,

@@ -166,16 +166,14 @@ class GRPOBatch(NamedTuple):
 
 
 def _completion_logps(model, params, batch: GRPOBatch) -> jnp.ndarray:
-    logits = model.apply(
+    # chunked head: never materializes [B*G, T, V] logits and projects only
+    # the T completion-predicting positions (gp_model.completion_logprobs)
+    return model.apply(
         {"params": params},
         batch.prompt_embeds, batch.prompt_valid, batch.prompt_pos,
         batch.completion_ids, batch.completion_valid, batch.completion_pos,
-        method=model.completion_logits,
+        method=model.completion_logprobs,
     )
-    r = batch.prompt_embeds.shape[1]
-    # logit at position r-1 predicts completion token 0, etc.
-    lg = logits[:, r - 1 : -1]
-    return token_logprobs(lg, batch.completion_ids)
 
 
 def make_grpo_loss_step(model, optimizer, reward_weight: float = 1.0,

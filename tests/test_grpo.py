@@ -246,3 +246,37 @@ def test_insert_lora_matches_apply_lora():
     np.testing.assert_array_equal(
         np.asarray(out_inserted.keep_img), np.asarray(out_merged.keep_img)
     )
+
+
+def test_completion_logprobs_matches_full_logits():
+    """gp_model.completion_logprobs (chunked head over completion positions
+    only) must equal the full completion_logits -> token_logprobs path it
+    replaced in _completion_logps."""
+    from glimpseprune_tpu.models.qwen2_5_vl.gp_model import Qwen2_5_VL_GP
+    from glimpseprune_tpu.training.grpo import token_logprobs
+
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(5)
+    prep, _ = build_batch(cfg, rng, with_labels=False)
+    model, params = init_params(cfg, prep)
+
+    B, R, T = 2, 9, 5
+    H = cfg.text.hidden_size
+    prompt_embeds = jnp.asarray(rng.standard_normal((B, R, H)), jnp.float32)
+    prompt_valid = jnp.asarray(rng.random((B, R)) > 0.2)
+    prompt_pos = jnp.asarray(
+        np.broadcast_to(np.arange(R)[None, None], (3, B, R)).copy(), jnp.int32)
+    completion_ids = jnp.asarray(
+        rng.integers(0, cfg.text.vocab_size, (B, T)), jnp.int32)
+    completion_valid = jnp.ones((B, T), bool)
+    completion_pos = jnp.asarray(
+        np.broadcast_to(R + np.arange(T)[None, None], (3, B, T)).copy(), jnp.int32)
+
+    args = (prompt_embeds, prompt_valid, prompt_pos,
+            completion_ids, completion_valid, completion_pos)
+    logits = model.apply({"params": params}, *args,
+                         method=model.completion_logits)
+    want = token_logprobs(logits[:, R - 1 : -1], completion_ids)
+    got = model.apply({"params": params}, *args,
+                      method=model.completion_logprobs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
