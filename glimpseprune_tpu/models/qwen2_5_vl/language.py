@@ -56,10 +56,19 @@ def _dense(x, p, dtype, a8: bool = False):
         # only this layer's bf16 kernel materializes inside the scan
         w = p["kernel_q"].astype(dtype) * p["kernel_scale"].astype(dtype)
     elif "kernel_q4" in p:
-        # 4-bit tier: two nibbles per int8 byte + group-64 scales
-        from glimpseprune_tpu.quantization import dequant_int4
+        # 4-bit tier: two nibbles per int8 byte + group-64 scales. Small-M
+        # (decode) matmuls route to the fused Pallas dequant kernel — the
+        # XLA unpack chain materializes the bf16 kernel and is 17x slower
+        # at the decode shape (quantization.matmul_int4_auto)
+        from glimpseprune_tpu.quantization import matmul_int4_auto
 
-        w = dequant_int4(p, dtype)
+        x = x.astype(dtype)
+        y = matmul_int4_auto(x, p, dtype)
+        if "lora_a" in p:
+            y = y + (x @ p["lora_a"].astype(dtype)) @ p["lora_b"].astype(dtype)
+        if "bias" in p:
+            y = y + p["bias"].astype(dtype)
+        return y
     else:
         w = p["kernel"].astype(dtype)
     x = x.astype(dtype)

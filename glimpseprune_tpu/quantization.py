@@ -139,9 +139,16 @@ def quantize_int4(
     jnp.int4 device arrays recurse in this machine's TPU plugin, so packing
     is explicit and portable:
 
-        {"kernel_q4": int8 [..., in/2, out],       # row 2i in low nibble,
-                                                   # row 2i+1 in high nibble
+        {"kernel_q4": int8 [..., in/2, out],       # row r in the low nibble,
+                                                   # row r + in/2 in the high
+                                                   # nibble (block-halves)
          "kernel_scale4": f32 [..., in/group, out]}
+
+    Block-halves (not row-interleaved) packing: the unpack is a concat of
+    the two nibble planes along the contraction dim — XLA fuses it better
+    than an interleaving stack+reshape, and the fused Pallas decode kernel
+    (ops/pallas/int4_matmul.py) reads each plane against its own x slice
+    with no in-kernel shuffle at all.
     """
 
     def walk(node, prefix):
@@ -172,8 +179,8 @@ def quantize_int4(
                 q = np.clip(
                     np.rint(wg / scale[..., None, :]), -7, 7
                 ).astype(np.int8).reshape(lead + (fin, fout))
-                lo = q[..., 0::2, :]
-                hi = q[..., 1::2, :]
+                lo = q[..., : fin // 2, :]
+                hi = q[..., fin // 2 :, :]
                 packed = ((lo & 0x0F) | (hi << 4)).astype(np.int8)
                 out["kernel_q4"] = jnp.asarray(packed)
                 out["kernel_scale4"] = jnp.asarray(scale.astype(np.float32))
@@ -192,15 +199,50 @@ def dequant_int4(p: Dict[str, Any], dtype):
     scale = p["kernel_scale4"]
     lead, fin2, fout = packed.shape[:-2], packed.shape[-2], packed.shape[-1]
     group = (fin2 * 2) // scale.shape[-2]
-    # arithmetic shifts sign-extend each nibble
+    # arithmetic shifts sign-extend each nibble; block-halves layout makes
+    # the unpack a concat along the contraction dim (no interleave)
     lo = jnp.left_shift(packed, 4)
     lo = jnp.right_shift(lo, 4)
     hi = jnp.right_shift(packed, 4)
-    q = jnp.stack([lo, hi], axis=-2)  # [..., in/2, 2, out]
-    q = q.reshape(lead + (fin2 * 2, fout))
+    q = jnp.concatenate([lo, hi], axis=-2)  # [..., in, out]
     qg = q.reshape(lead + (fin2 * 2 // group, group, fout)).astype(dtype)
     w = qg * scale[..., None, :].astype(dtype)
     return w.reshape(lead + (fin2 * 2, fout))
+
+
+def matmul_int4_auto(x, p: Dict[str, Any], dtype):
+    """x [..., K] @ int4 weights -> [..., N], picking the implementation:
+
+    - small M (decode/sampling) on TPU: the fused Pallas kernel — XLA
+      cannot fuse the nibble unpack into a dot operand and materializes the
+      full bf16 kernel per layer per decode step (185 ms/step measured at
+      7B vs 10.7 int8; docs/ROUND4.md §6);
+    - everything else (prefill, CPU): dequant + matmul — compute-bound at
+      large M, where the dequant cost is amortized.
+
+    x must already be cast to the compute dtype.
+    """
+    from glimpseprune_tpu.ops.pallas.int4_matmul import (
+        INT4_MATMUL_IMPL,
+        kernel_applicable,
+        matmul_int4,
+    )
+
+    packed, scale = p["kernel_q4"], p["kernel_scale4"]
+    if packed.ndim == 2 and INT4_MATMUL_IMPL != "xla":
+        K, N = packed.shape[0] * 2, packed.shape[1]
+        g = K // scale.shape[0]
+        m = 1
+        for d in x.shape[:-1]:
+            m *= int(d)
+        on_tpu = jax.default_backend() == "tpu"
+        impl = INT4_MATMUL_IMPL
+        if kernel_applicable(m, K, N, g) and (
+            impl == "pallas_interpret" or (impl in ("auto", "pallas") and on_tpu)
+        ):
+            return matmul_int4(x, packed, scale, out_dtype=dtype,
+                               interpret=impl == "pallas_interpret")
+    return x @ dequant_int4(p, dtype)
 
 
 def dequantize_int8(params: Dict[str, Any], dtype=jnp.bfloat16) -> Dict[str, Any]:
