@@ -564,21 +564,30 @@ def run_serving(scale: str):
     n_chunks_u = rows_u // chunk_b
 
     def run_pruned(i0):
-        # compacted chunks are ~0.09 GB each at 16k->8%: a plain concat into
-        # the decode batch is cheap
+        # compacted chunks are ~0.09 GB each at 16k->8%, but at the B=56+
+        # frontier a concat of all chunks transiently DOUBLES the multi-GB
+        # decode cache — assemble in place like the unpruned side (fill a
+        # preallocated cache per chunk + prealloc_t decode)
         t0 = _t.perf_counter()
-        outs = [pruned_prefill({"params": params}, dev_inputs,
+        T_p = int(prep.out_len) + n_dec
+        shape_p = (L, rows_p, T_p, Hkv, D)
+        kc = alloc_cache(shape_p, jnp.bfloat16, cache_tier)
+        vc = alloc_cache(shape_p, jnp.bfloat16, cache_tier)
+        logits_parts, valid_parts, pos_parts = [], [], []
+        for i in range(n_chunks_p):
+            o = pruned_prefill({"params": params}, dev_inputs,
                                jnp.float32(i0 + i), out_len=prep.out_len)
-                for i in range(n_chunks_p)]
-        logits = jnp.concatenate([o.logits for o in outs], axis=0)
-        valid = jnp.concatenate([o.valid for o in outs], axis=0)
-        pos = jnp.concatenate([o.position_ids for o in outs], axis=1)
-        kv_k = jnp.concatenate([o.kv_k for o in outs], axis=1)
-        kv_v = jnp.concatenate([o.kv_v for o in outs], axis=1)
-        del outs
+            kc, vc = fill(kc, vc, o.kv_k, o.kv_v, jnp.int32(i * chunk_b))
+            logits_parts.append(o.logits)
+            valid_parts.append(o.valid)
+            pos_parts.append(o.position_ids)
+            del o
+        logits = jnp.concatenate(logits_parts, axis=0)
+        valid = jnp.concatenate(valid_parts, axis=0)
+        pos = jnp.concatenate(pos_parts, axis=1)
         seqs, _ = runner._decode_loop(
-            logits, valid, pos, kv_k, kv_v, n_dec, -1, chunk_size=n_dec,
-            rng=jax.random.PRNGKey(i0),
+            logits, valid, pos, kc, vc, n_dec, -1, chunk_size=n_dec,
+            rng=jax.random.PRNGKey(i0), prealloc_t=T_p,
         )
         n = int(np.asarray(seqs).shape[0] * np.asarray(seqs).shape[1])
         return _t.perf_counter() - t0, n
