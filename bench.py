@@ -178,11 +178,14 @@ def _make_params(cfg, quant, model, prep):
     placeholders (arithmetic is dense either way, so wall-clock doesn't
     depend on the values).
 
-    BENCH_REAL_WEIGHTS=1 (VERDICT r2 #8): init the REAL random fp weights
-    on the host CPU on a small shape (param shapes don't depend on inputs),
-    quantize them (convergence_run.py path), and ship the int8 tree to the
-    device — the serving run then sees a realistic logit distribution, so
-    sampling/eos behavior matches real serving."""
+    BENCH_REAL_WEIGHTS=1 (VERDICT r2 #8): init REAL random weights on the
+    host CPU on a small shape (param shapes don't depend on inputs) and
+    ship the tree to the device — the serving run then sees a realistic
+    logit distribution, so sampling/eos behavior matches real serving.
+    The quantized tiers are drawn directly in their int8/int4
+    representation (utils/fastinit.py, ~90 s at 7B) — the old
+    fp32-generate -> quantize chain cost ~40 min of single-core host work
+    (measured r4) and produced the same discretized-normal statistics."""
     import jax
     import jax.numpy as jnp
 
@@ -190,34 +193,27 @@ def _make_params(cfg, quant, model, prep):
         init_jit = jax.jit(model.init, static_argnums=(16,))
         return init_jit(*_init_args(prep), prep.out_len)["params"]
 
-    import dataclasses
-
-    from glimpseprune_tpu.models.qwen2_5_vl.gp_model import Qwen2_5_VL_GP
     from glimpseprune_tpu.models.qwen2_5_vl.runner import prepare_inputs
-    from glimpseprune_tpu.quantization import quantize_int4, quantize_int8
-    from glimpseprune_tpu.utils.fastinit import fast_random_params
-
-    fp_cfg = dataclasses.replace(
-        cfg,
-        text=dataclasses.replace(cfg.text, weight_quant="none", act_quant="none"),
-        vision=dataclasses.replace(cfg.vision, weight_quant="none", act_quant="none"),
+    from glimpseprune_tpu.utils.fastinit import (
+        device_random_params,
+        fast_random_params,
     )
+
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, (256, 256, 3), dtype=np.uint8)
     prompt = ([5, 6] + [cfg.vision_start_token_id, cfg.image_token_id,
                         cfg.vision_end_token_id] + [7, 8])
-    sprep = prepare_inputs(fp_cfg, [prompt], [img])
-    fp_model = Qwen2_5_VL_GP(fp_cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
-    # numpy-PCG host init (~30 s at 7B) — the exact flax init takes 20+ min
-    # on this machine's single core (utils/fastinit.py); the bench only
-    # needs realistic magnitudes for sampling/eos behavior
+    sprep = prepare_inputs(cfg, [prompt], [img])
+    dev = jax.devices()[0]
+    if dev.platform != "cpu":
+        # accelerator: draw on-device (seconds; compact allocation — a
+        # leaf-by-leaf device_put fragments HBM enough to OOM the B=48
+        # serving frontier that the jitted-init layout fits)
+        return device_random_params(model, _init_args(sprep), sprep.out_len)
     cpu = jax.devices("cpu")[0]
-    qfn = quantize_int8 if quant == "int8" else quantize_int4
     with jax.default_device(cpu):
-        fp_params = fast_random_params(fp_model, _init_args(sprep), sprep.out_len)
-        qparams = qfn(fp_params)
-        del fp_params
-    params = jax.device_put(qparams, jax.devices()[0])
+        qparams = fast_random_params(model, _init_args(sprep), sprep.out_len)
+    params = jax.device_put(qparams, dev)
     del qparams
     return params
 
@@ -479,11 +475,12 @@ def _serving_setup(scale: str):
         + [int(x) for x in rng.integers(5, 100000, 24)]
     )
     # defaults = the measured feasibility frontier on one 16 GB v5e chip
-    # (int8 weights + int8 KV): unpruned B=8 OOMs; by B=28/7 both sides'
-    # per-row costs have saturated (unpruned ~7.15 s/row vs pruned ~3.8),
-    # so these read the asymptotic throughput ratio
+    # (int8 weights + int8 KV): unpruned B=8 OOMs (re-probed r4 after the
+    # in-place pruned assembly landed); pruned B=48 serves (B=56 OOMs) and
+    # reads within ~10% of the protocol's prefill-bound asymptote
+    # (docs/ROUND4.md §7)
     chunk_b = int(os.environ.get("BENCH_SERVE_CHUNK", "1"))
-    rows_p = int(os.environ.get("BENCH_SERVE_ROWS_P", "28"))
+    rows_p = int(os.environ.get("BENCH_SERVE_ROWS_P", "48"))
     rows_u = int(os.environ.get("BENCH_SERVE_ROWS_U", "7"))
     n_dec = int(os.environ.get("BENCH_DECODE", "1024"))
     prep = prepare_inputs(cfg, [prompt] * chunk_b, [img] * chunk_b,
@@ -725,10 +722,12 @@ def run_serving_continuous(scale: str):
         # then re-prefills every row compile-free
         w = prefill_one(i0 * 131 + 997)
         R = int(w[1].shape[1])
+        _note(f"  warm prefill done (R={R}); compiling batcher B={B}")
         batcher = ContinuousBatcher(
             runner, capacity=B, prefix_len=R, max_new_tokens=n_dec,
             inter_steps=inter, eos=-1)
         batcher.warm(w)
+        _note("  batcher warm done; timed serve starting")
         del w
         gc.collect()
         t0 = _t.perf_counter()
@@ -740,8 +739,16 @@ def run_serving_continuous(scale: str):
         gc.collect()
         return wall, int(n_gen.sum()), ttft, completion
 
+    def _note(msg):
+        import sys as _sys
+        _sys.stderr.write(f"[continuous {_t.strftime('%H:%M:%S')}] {msg}\n")
+        _sys.stderr.flush()
+
+    _note(f"setup done; pruned side B={rows_p} starting")
     wall_p, n_p, ttft_p, done_p = side(rows_p, prefill_p, 0)
+    _note(f"pruned side done in {wall_p:.1f}s; unpruned B={rows_u} starting")
     wall_u, n_u, ttft_u, done_u = side(rows_u, prefill_u, 40)
+    _note(f"unpruned side done in {wall_u:.1f}s")
 
     thr_p, thr_u = n_p / wall_p, n_u / wall_u
     suffix = (f"_{scale}" + (f"_{quant}" if quant else "")
@@ -887,6 +894,15 @@ def main():
         # weight-only (HBM-bound; full-W8A8 decode measured pathological)
         os.environ["BENCH_ACT_QUANT"] = "prefill"
     mode = os.environ.get("BENCH_MODE", "serving")
+    # headline runs exercise realistic logits (VERDICT r3 #5): real-random
+    # quantized weights unless explicitly disabled. Timing-neutral
+    # (placeholder delta measured, docs/ROUND4.md §8); drawn on-device in
+    # one jitted program (fastinit.device_random_params) — seconds, and
+    # the same compact HBM layout as the placeholder init.
+    if os.environ.get("BENCH_REAL_WEIGHTS") in ("0", ""):
+        os.environ.pop("BENCH_REAL_WEIGHTS", None)
+    elif "BENCH_REAL_WEIGHTS" not in os.environ and os.environ.get("BENCH_QUANT"):
+        os.environ["BENCH_REAL_WEIGHTS"] = "1"
     if mode == "continuous":
         # continuous batching holds the full decode cache DURING prefill
         # (admission interleaving), so its pruned feasibility frontier sits
@@ -901,19 +917,21 @@ def main():
         rows0 = int(os.environ.get("BENCH_SERVE_ROWS_P", "8"))
         for rows_p in (rows0, max(rows0 // 2, 4), 4):
             env = dict(os.environ, BENCH_SERVE_ROWS_P=str(rows_p))
+            # stderr inherits (phase-progress lines stay visible under an
+            # outer log/timeout); stdout is captured for the JSON line
             p = subprocess.run(
                 [sys.executable, "-c",
                  "import json, bench; "
                  f"print(json.dumps(bench.run_serving_continuous({scale!r})))"],
                 env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
-                capture_output=True, text=True)
+                stdout=subprocess.PIPE, text=True)
             line = (p.stdout.strip().splitlines() or [""])[-1]
             if p.returncode == 0 and line.startswith("{"):
                 print(line)
                 return
             sys.stderr.write(
                 f"continuous bench failed at B={rows_p} (rc={p.returncode}); "
-                f"retrying smaller\n{p.stderr[-500:]}\n")
+                "retrying smaller\n")
         raise RuntimeError("continuous bench failed at all batch sizes")
     if mode == "serving":
         try:

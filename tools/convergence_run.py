@@ -263,8 +263,13 @@ def run_grpo(args):
             print(f"step {step:4d} reward {m['mean_score']:.3f} "
                   f"probe acc policy {acc_pol:.3f} vs frozen {acc_ref:.3f} "
                   f"loc {m.get('loc_loss', float('nan')):.3f} "
-                  f"le {m.get('le_loss', float('nan')):.3f}")
+                  f"le {m.get('le_loss', float('nan')):.3f}", flush=True)
         history.append(m)
+        if step % 10 == 0 or step == 1:
+            # incremental dump: a killed run still leaves its curves
+            os.makedirs(args.out, exist_ok=True)
+            with open(os.path.join(args.out, "grpo_log.json"), "w") as f:
+                json.dump(history, f, indent=1)
 
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "grpo_log.json"), "w") as f:

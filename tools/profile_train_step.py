@@ -87,25 +87,28 @@ def main():
         jnp.asarray(prep.le_start), prep.out_len,
     )
     if args.quant and args.scale != "tiny":
-        # fast host-init real weights then quantize (utils/fastinit.py; the
-        # exact flax init takes 20+ min for 7B on this machine's one core —
-        # a step-TIME profile only needs realistic magnitudes)
-        from glimpseprune_tpu.quantization import (
-            quantize_int4,
-            quantize_int8,
-            quantized_config,
+        # fast host-init real weights directly in their quantized
+        # representation (utils/fastinit.py; the exact flax init takes
+        # 20+ min for 7B on this machine's one core, and the old
+        # fp-generate-then-quantize chain ~40 — a step-TIME profile only
+        # needs realistic magnitudes)
+        from glimpseprune_tpu.quantization import quantized_config
+        from glimpseprune_tpu.utils.fastinit import (
+            device_random_params,
+            fast_random_params,
         )
-        from glimpseprune_tpu.utils.fastinit import fast_random_params
 
-        cpu = jax.devices("cpu")[0]
-        qfn = quantize_int8 if args.quant == "int8" else quantize_int4
-        with jax.default_device(cpu):
-            fp_params = fast_random_params(model0, init_args[:-1], prep.out_len)
-            qparams = qfn(fp_params)
-            del fp_params
-        params = jax.device_put(qparams, jax.devices()[0])
-        del qparams
         cfg = quantized_config(cfg, args.quant)
+        qmodel = Qwen2_5_VL_GP(cfg, dtype=dtype, param_dtype=param_dtype)
+        if jax.devices()[0].platform != "cpu":
+            params = device_random_params(qmodel, init_args[:-1], prep.out_len)
+        else:
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                qparams = fast_random_params(qmodel, init_args[:-1],
+                                             prep.out_len)
+            params = jax.device_put(qparams, jax.devices()[0])
+            del qparams
     else:
         params = jax.jit(model0.init, static_argnums=(16,))(*init_args)["params"]
 
