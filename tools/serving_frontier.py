@@ -48,19 +48,30 @@ def run_point(B, kv, weights, n_dec, rows_u, timeout_s):
     # int4 has no W8A8 kernels — weight-only dequant path
     env.setdefault("BENCH_ACT_QUANT", "prefill" if weights == "int8" else "none")
     t0 = time.time()
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=timeout_s,
-    )
+    # stream output to a per-point log (a timeout with capture_output
+    # destroys all evidence of where the point's time went — learned r4)
+    logp = f"/tmp/frontier_B{B}_{kv}_{weights}.log"
+    with open(logp, "w") as lf:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                env=env, stdout=lf, stderr=subprocess.STDOUT, text=True,
+                timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            raise
+    with open(logp) as lf:
+        out_lines = lf.read().strip().splitlines()
     line = None
-    for ln in reversed(proc.stdout.strip().splitlines()):
+    for ln in reversed(out_lines):
         if ln.startswith("{"):
             line = ln
             break
     if proc.returncode != 0 or line is None:
         return {
             "B": B, "kv": kv, "weights": weights, "error": True,
-            "rc": proc.returncode, "stderr": proc.stderr[-2000:],
+            "rc": proc.returncode, "log": logp,
+            "tail": "\n".join(out_lines[-12:]),
             "wall_s": round(time.time() - t0, 1),
         }
     d = json.loads(line)
@@ -95,15 +106,24 @@ def main():
     ap.add_argument("--decode", type=int, default=1024)
     ap.add_argument("--rows-u", type=int, default=7,
                     help="unpruned side's own feasible batch (bench default)")
-    ap.add_argument("--timeout", type=int, default=2400, help="per-point s")
+    ap.add_argument("--timeout", type=int, default=3600, help="per-point s")
+    ap.add_argument("--points", default=None,
+                    help="explicit ordered points 'B:kv:weights,...' "
+                         "(overrides the --batches/--kv/--weights product)")
     ap.add_argument("--dry", action="store_true")
     args = ap.parse_args()
 
-    points = list(itertools.product(
-        [int(b) for b in args.batches.split(",")],
-        args.kv.split(","),
-        args.weights.split(","),
-    ))
+    if args.points:
+        points = []
+        for spec in args.points.split(","):
+            b, kv, w = spec.split(":")
+            points.append((int(b), kv, w))
+    else:
+        points = list(itertools.product(
+            [int(b) for b in args.batches.split(",")],
+            args.kv.split(","),
+            args.weights.split(","),
+        ))
     if args.dry:
         for p in points:
             print(p)
