@@ -667,41 +667,50 @@ def run_serving(scale: str):
     }
 
 
-def run_serving_continuous(scale: str):
-    """Continuous-batching serving (VERDICT r2 #3): each side runs a slot
-    scheduler that admits a row into the decode batch the moment its B=1
+def run_continuous_side(scale: str, side: str):
+    """ONE side of the continuous-batching protocol (VERDICT r2 #3 / r4 #1):
+    a slot scheduler admits a row into the decode batch the moment its B=1
     prefill lands, interleaving decode chunks between admissions — the
     reference's my_lmms_eval/infer_cot.py protocol has no analogue; this is
     the shape of a real serving loop (vLLM-style admission) on one chip.
 
     Mechanics live in glimpseprune_tpu/serving.ContinuousBatcher (global
     write cursor over one preallocated cache; tested request-for-request
-    against generate() in tests/test_serving.py).
-    Admission-phase decode advances early rows at the cost of
-    (B-1) x inter_steps extra decode steps vs the aggregated batch protocol
-    (the throughput/latency trade continuous batching makes on a serial
-    device); the win reported here is time-to-first-token, measured per row
-    at admission sync.
+    against generate() in tests/test_serving.py). The win reported is
+    time-to-first-token, measured per row at admission sync.
 
-    Applied to BOTH sides (honesty rule). tok/s counts n_dec real tokens
-    per row; pre-admission/post-completion garbage lanes are uncounted.
+    Sides run in SEPARATE processes (main's continuous mode): the two
+    feasibility frontiers differ — continuous batching holds admission-time
+    prefill temps beside the FULL resident decode cache, so the unpruned
+    side caps at B=5 here while the aggregated protocol's in-place assembly
+    fits B=7 (the r4 regression: reusing the aggregated probe's rows_u=7
+    OOMed every continuous run, and the retry ladder stepped down the
+    pruned side — the side that was fine). B comes from
+    BENCH_SERVE_ROWS_P/_U per `side`; tok/s counts n_dec real tokens per
+    row; pre-admission/post-completion garbage lanes are uncounted.
     """
+    import gc
     import os as _os
     import time as _t
 
     import jax
     import jax.numpy as jnp
 
+    from glimpseprune_tpu.serving import ContinuousBatcher
+
     s = _serving_setup(scale)
     cfg, quant, prep, params, runner = s["cfg"], s["quant"], s["prep"], s["params"], s["runner"]
     dev_inputs, vanilla_static = s["dev_inputs"], s["vanilla_static"]
     pruned_prefill, unpruned_prefill = s["pruned_prefill"], s["unpruned_prefill"]
-    rows_p, rows_u, n_dec = s["rows_p"], s["rows_u"], s["n_dec"]
+    n_dec = s["n_dec"]
     inter = int(_os.environ.get("BENCH_SERVE_INTER_STEPS", "8"))
+    B = s["rows_p"] if side == "pruned" else s["rows_u"]
+    i0 = 0 if side == "pruned" else 40
 
-    import gc
-
-    from glimpseprune_tpu.serving import ContinuousBatcher
+    def _note(msg):
+        import sys as _sys
+        _sys.stderr.write(f"[continuous {_t.strftime('%H:%M:%S')}] {msg}\n")
+        _sys.stderr.flush()
 
     def prefill_p(i):
         out = pruned_prefill({"params": params}, dev_inputs, jnp.float32(i),
@@ -716,75 +725,49 @@ def run_serving_continuous(scale: str):
                 vanilla_static["position_ids"][:, :1], u_kv_k[:, :1],
                 u_kv_v[:, :1])
 
-    def side(B, prefill_one, i0):
-        # warm pass: one prefill (reveals R + compiles the prefill
-        # executable) + batcher.warm (compiles admit/chunk); the timed serve
-        # then re-prefills every row compile-free
-        w = prefill_one(i0 * 131 + 997)
-        R = int(w[1].shape[1])
-        _note(f"  warm prefill done (R={R}); compiling batcher B={B}")
-        batcher = ContinuousBatcher(
-            runner, capacity=B, prefix_len=R, max_new_tokens=n_dec,
-            inter_steps=inter, eos=-1)
-        batcher.warm(w)
-        _note("  batcher warm done; timed serve starting")
-        del w
-        gc.collect()
-        t0 = _t.perf_counter()
-        reqs = [(lambda j=j: prefill_one(i0 * 131 + j)) for j in range(B)]
-        _, n_gen, ttft, completion = batcher.serve(
-            reqs, rng=jax.random.PRNGKey(i0))
-        wall = _t.perf_counter() - t0
-        del batcher
-        gc.collect()
-        return wall, int(n_gen.sum()), ttft, completion
-
-    def _note(msg):
-        import sys as _sys
-        _sys.stderr.write(f"[continuous {_t.strftime('%H:%M:%S')}] {msg}\n")
-        _sys.stderr.flush()
-
-    _note(f"setup done; pruned side B={rows_p} starting")
-    wall_p, n_p, ttft_p, done_p = side(rows_p, prefill_p, 0)
-    _note(f"pruned side done in {wall_p:.1f}s; unpruned B={rows_u} starting")
-    wall_u, n_u, ttft_u, done_u = side(rows_u, prefill_u, 40)
-    _note(f"unpruned side done in {wall_u:.1f}s")
-
-    thr_p, thr_u = n_p / wall_p, n_u / wall_u
-    suffix = (f"_{scale}" + (f"_{quant}" if quant else "")
-              + ("_w8a8" if getattr(cfg.text, "act_quant", "none") != "none" else ""))
+    prefill_one = prefill_p if side == "pruned" else prefill_u
+    _note(f"setup done; {side} side B={B} starting")
+    # warm pass: one prefill (reveals R + compiles the prefill executable)
+    # + batcher.warm (compiles admit/chunk); the timed serve then
+    # re-prefills every row compile-free
+    w = prefill_one(i0 * 131 + 997)
+    R = int(w[1].shape[1])
+    _note(f"  warm prefill done (R={R}); compiling batcher B={B}")
+    batcher = ContinuousBatcher(
+        runner, capacity=B, prefix_len=R, max_new_tokens=n_dec,
+        inter_steps=inter, eos=-1)
+    batcher.warm(w)
+    _note("  batcher warm done; timed serve starting")
+    del w
+    gc.collect()
+    t0 = _t.perf_counter()
+    reqs = [(lambda j=j: prefill_one(i0 * 131 + j)) for j in range(B)]
+    _, n_gen, ttft, completion = batcher.serve(
+        reqs, rng=jax.random.PRNGKey(i0))
+    wall = _t.perf_counter() - t0
+    _note(f"{side} side done in {wall:.1f}s")
 
     def stats(xs):
         return {"mean_s": round(float(np.mean(xs)), 2),
                 "max_s": round(float(np.max(xs)), 2)}
 
     return {
-        "metric": f"gp_serving_continuous_tokens_per_sec_chip{suffix}",
-        "value": round(thr_p, 1),
-        "unit": "tokens/s",
-        "vs_baseline": round(thr_p / thr_u, 3),
-        "detail": {
-            "protocol": "continuous batching: admit-on-prefill-completion, "
-                        "%d-step decode chunks interleaved; %d new "
-                        "tokens/row; pruned B=%d vs unpruned B=%d"
-                        % (inter, n_dec, rows_p, rows_u),
-            "pruned_wall_s": round(wall_p, 2),
-            "unpruned_wall_s": round(wall_u, 2),
-            "pruned_tok_s": round(thr_p, 1),
-            "unpruned_tok_s": round(thr_u, 1),
-            "pruned_ttft": stats(ttft_p),
-            "unpruned_ttft": stats(ttft_u),
-            "pruned_completion": stats(done_p),
-            "unpruned_completion": stats(done_u),
-            "inter_steps": inter,
-            "n_image_tokens": int(prep.n_img_tokens[0]),
-            "n_decode": n_dec,
-            "act_quant": getattr(cfg.text, "act_quant", "none"),
-            "weights": ("real-random-quantized"
-                        if quant and _os.environ.get("BENCH_REAL_WEIGHTS")
-                        else "placeholder-zero" if quant else "real-random"),
-            "device": str(jax.devices()[0]),
-        },
+        "side": side,
+        "B": B,
+        "wall_s": round(wall, 2),
+        "n_gen": int(n_gen.sum()),
+        "tok_s": round(float(n_gen.sum()) / wall, 1),
+        "ttft": stats(ttft),
+        "completion": stats(completion),
+        "inter_steps": inter,
+        "n_image_tokens": int(prep.n_img_tokens[0]),
+        "n_decode": n_dec,
+        "quant": quant,
+        "act_quant": getattr(cfg.text, "act_quant", "none"),
+        "weights": ("real-random-quantized"
+                    if quant and _os.environ.get("BENCH_REAL_WEIGHTS")
+                    else "placeholder-zero" if quant else "real-random"),
+        "device": str(jax.devices()[0]),
     }
 
 
@@ -904,35 +887,86 @@ def main():
     elif "BENCH_REAL_WEIGHTS" not in os.environ and os.environ.get("BENCH_QUANT"):
         os.environ["BENCH_REAL_WEIGHTS"] = "1"
     if mode == "continuous":
-        # continuous batching holds the full decode cache DURING prefill
-        # (admission interleaving), so its pruned feasibility frontier sits
-        # below the aggregated protocol's B=28 — step down on OOM. Each
-        # attempt runs in a FRESH subprocess: an in-process retry leaks the
-        # failed attempt's ~9 GB param tree into the next one (measured:
-        # B=8 OOMs after an in-process B=16 failure but passes cold).
+        # Each SIDE runs in its own fresh subprocess with its own OOM
+        # step-down ladder (r4 regression postmortem: the sides' frontiers
+        # differ — continuous holds admission prefill temps beside the full
+        # resident decode cache, so the unpruned side caps BELOW the
+        # aggregated protocol's rows_u=7 — and the old single-process retry
+        # stepped down the PRUNED side when the unpruned one OOMed, burning
+        # 3 x ~13 min of recompiles into a timeout. Fresh processes also
+        # avoid the in-process retry leaking the failed attempt's ~9 GB
+        # param tree into the next one, measured r3).
         import subprocess
 
-        # measured frontier: B=8 serves clean; B=16 OOMs (the resident
-        # cache + prefill temps overlap). Override via BENCH_SERVE_ROWS_P.
-        rows0 = int(os.environ.get("BENCH_SERVE_ROWS_P", "8"))
-        for rows_p in (rows0, max(rows0 // 2, 4), 4):
-            env = dict(os.environ, BENCH_SERVE_ROWS_P=str(rows_p))
-            # stderr inherits (phase-progress lines stay visible under an
-            # outer log/timeout); stdout is captured for the JSON line
-            p = subprocess.run(
-                [sys.executable, "-c",
-                 "import json, bench; "
-                 f"print(json.dumps(bench.run_serving_continuous({scale!r})))"],
-                env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
-                stdout=subprocess.PIPE, text=True)
-            line = (p.stdout.strip().splitlines() or [""])[-1]
-            if p.returncode == 0 and line.startswith("{"):
-                print(line)
-                return
-            sys.stderr.write(
-                f"continuous bench failed at B={rows_p} (rc={p.returncode}); "
-                "retrying smaller\n")
-        raise RuntimeError("continuous bench failed at all batch sizes")
+        def side_ladder(side, ladder):
+            for b in ladder:
+                var = ("BENCH_SERVE_ROWS_P" if side == "pruned"
+                       else "BENCH_SERVE_ROWS_U")
+                env = dict(os.environ, **{var: str(b)})
+                # stderr inherits (phase-progress lines stay visible under
+                # an outer log/timeout); stdout captured for the JSON line
+                p = subprocess.run(
+                    [sys.executable, "-c",
+                     "import json, bench; print(json.dumps("
+                     f"bench.run_continuous_side({scale!r}, {side!r})))"],
+                    env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
+                    stdout=subprocess.PIPE, text=True)
+                line = (p.stdout.strip().splitlines() or [""])[-1]
+                if p.returncode == 0 and line.startswith("{"):
+                    return json.loads(line)
+                sys.stderr.write(
+                    f"continuous {side} side failed at B={b} "
+                    f"(rc={p.returncode}); retrying smaller\n")
+            raise RuntimeError(
+                f"continuous bench {side} side failed at all batch sizes")
+
+        def dedup(xs):
+            seen, out = set(), []
+            for x in xs:
+                if x >= 1 and x not in seen:
+                    seen.add(x)
+                    out.append(x)
+            return out
+
+        rows_p0 = int(os.environ.get("BENCH_SERVE_ROWS_P", "8"))
+        rows_u0 = int(os.environ.get("BENCH_SERVE_ROWS_U", "7"))
+        pr = side_ladder("pruned", dedup([rows_p0, rows_p0 // 2, 4]))
+        un = side_ladder("unpruned",
+                         dedup([rows_u0, rows_u0 - 2, rows_u0 // 2, 3, 2]))
+        suffix = (f"_{scale}" + (f"_{pr['quant']}" if pr["quant"] else "")
+                  + ("_w8a8" if pr["act_quant"] != "none" else ""))
+        print(json.dumps({
+            "metric": f"gp_serving_continuous_tokens_per_sec_chip{suffix}",
+            "value": pr["tok_s"],
+            "unit": "tokens/s",
+            "vs_baseline": round(pr["tok_s"] / un["tok_s"], 3),
+            "detail": {
+                "protocol": "continuous batching: admit-on-prefill-"
+                            "completion, %d-step decode chunks interleaved; "
+                            "%d new tokens/row; pruned B=%d vs unpruned "
+                            "B=%d (each side at its own continuous-feasible "
+                            "max, fresh process per side)"
+                            % (pr["inter_steps"], pr["n_decode"],
+                               pr["B"], un["B"]),
+                "pruned_batch": pr["B"],
+                "unpruned_batch": un["B"],
+                "pruned_wall_s": pr["wall_s"],
+                "unpruned_wall_s": un["wall_s"],
+                "pruned_tok_s": pr["tok_s"],
+                "unpruned_tok_s": un["tok_s"],
+                "pruned_ttft": pr["ttft"],
+                "unpruned_ttft": un["ttft"],
+                "pruned_completion": pr["completion"],
+                "unpruned_completion": un["completion"],
+                "inter_steps": pr["inter_steps"],
+                "n_image_tokens": pr["n_image_tokens"],
+                "n_decode": pr["n_decode"],
+                "act_quant": pr["act_quant"],
+                "weights": pr["weights"],
+                "device": pr["device"],
+            },
+        }))
+        return
     if mode == "serving":
         try:
             print(json.dumps(run_serving(scale)))

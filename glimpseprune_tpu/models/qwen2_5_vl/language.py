@@ -63,7 +63,8 @@ def _dense(x, p, dtype, a8: bool = False):
         from glimpseprune_tpu.quantization import matmul_int4_auto
 
         x = x.astype(dtype)
-        y = matmul_int4_auto(x, p, dtype)
+        # W4A8 (a8 + no adapter): in-VMEM requant + int8 MXU prefill kernel
+        y = matmul_int4_auto(x, p, dtype, a8=a8 and "lora_a" not in p)
         if "lora_a" in p:
             y = y + (x @ p["lora_a"].astype(dtype)) @ p["lora_b"].astype(dtype)
         if "bias" in p:

@@ -60,10 +60,15 @@ def _dense(x, p, dtype, a8: bool = False):
         # only this layer's bf16 kernel materializes inside the scan
         w = p["kernel_q"].astype(dtype) * p["kernel_scale"].astype(dtype)
     elif "kernel_q4" in p:
-        # 4-bit tier: two nibbles per int8 byte + group-64 scales
-        from glimpseprune_tpu.quantization import dequant_int4
+        # 4-bit tier: two nibbles per int8 byte + group-64 scales; large-M
+        # shapes route to the fused prefill kernel (W4A8 under a8)
+        from glimpseprune_tpu.quantization import matmul_int4_auto
 
-        w = dequant_int4(p, dtype)
+        y = matmul_int4_auto(x.astype(dtype), p, dtype,
+                             a8=a8 and "lora_a" not in p)
+        if "bias" in p:
+            y = y + p["bias"].astype(dtype)
+        return y
     else:
         w = p["kernel"].astype(dtype)
     y = x.astype(dtype) @ w

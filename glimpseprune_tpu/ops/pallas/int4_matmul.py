@@ -43,10 +43,9 @@ INT4_MATMUL_IMPL = "auto"
 # the XLA dequant path otherwise
 _BKP = 256      # packed-row tile (512 unpacked rows per grid step)
 _BN = 512       # output-column tile
-_M_MAX = 128    # decode/sampling shapes up to the big-batch serving frontier
-                # (int4 frees ~3.3 GB HBM -> B>64 decode rows are feasible);
-                # prefill (M in the thousands) is compute-bound and the
-                # amortized XLA dequant is fine there
+_M_MAX = 128    # decode/sampling shapes route to the M-flat decode kernel;
+                # larger M routes to the tiled prefill kernel below
+_BM = 512       # prefill m-tile
 
 
 def _kernel(xlo_ref, xhi_ref, p_ref, s_ref, o_ref, acc_ref,
@@ -147,4 +146,192 @@ def matmul_int4(x, packed, scales, out_dtype=jnp.bfloat16,
         ),
         interpret=interpret,
     )(x2, x2, packed, scales)
+    return out[:M].reshape(lead + (N,))
+
+
+# ---------------------------------------------------------------------------
+# Prefill kernels (large M): full-K-tile dots, scale applied on the WEIGHT
+# tile in VMEM (the decode kernel's scale-on-result trick needs one dot per
+# 64-row group, which halves MXU utilization — irrelevant when decode is
+# HBM-bound, fatal when prefill is compute-bound).
+#
+#   W4A16 (a8=False): unpack nibbles -> f32, multiply by the group scale
+#     rows (broadcast 64-wide), cast to the x dtype, ONE bf16 dot per
+#     nibble plane per k-tile. Numerically identical to the XLA dequant
+#     path, without ever materializing a bf16 kernel in HBM.
+#   W4A8 (a8=True, VERDICT r4 #3): REQUANTIZE the tile to per-column int8
+#     in VMEM — q8 = round(q4 * s_group/s8_col), s8_col = max_g(s) * 7/127 —
+#     then int8 x int8 -> int32 MXU dots (the v5e native int8 mode, 2x bf16
+#     peak) with an int32 accumulator across k-tiles; the emit applies
+#     per-row activation scale x per-column s8. Requantization error is
+#     <= s8/2 = (127/7 * max_g s)/254 per weight — below the inherent int4
+#     group-quant step s_g/2 except for groups >18x quieter than the
+#     column's loudest, where the absolute error is tiny anyway (cosine
+#     >0.9999 vs the dequant path in tests).
+#
+# Reference analogue: bitsandbytes nf4 prefill dequant-on-the-fly
+# (llava_gp/model/builder.py:27-100); this is the TPU-native version with
+# the activation-quantized serving tier fused in.
+# ---------------------------------------------------------------------------
+
+
+def _row_scales(s_rows, g: int, bn: int):
+    # [sg, bn] group-scale rows -> [sg*g, bn] (each row repeated g times)
+    sg = s_rows.shape[0]
+    return jax.lax.broadcast_in_dim(
+        s_rows, (sg, g, bn), (0, 2)).reshape(sg * g, bn)
+
+
+def _kernel_prefill_a16(xlo_ref, xhi_ref, p_ref, s_ref, o_ref, acc_ref,
+                        *, g: int, nk: int, bkp: int):
+    k = pl.program_id(2)
+    sg = bkp // g
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    p32 = p_ref[...].astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(p32, 28), 28).astype(jnp.float32)
+    hi = jnp.right_shift(p32, 4).astype(jnp.float32)
+    bn = p_ref.shape[1]
+    wlo = (lo * _row_scales(s_ref[pl.ds(k * sg, sg), :], g, bn)
+           ).astype(xlo_ref.dtype)
+    whi = (hi * _row_scales(s_ref[pl.ds((nk + k) * sg, sg), :], g, bn)
+           ).astype(xhi_ref.dtype)
+    dn = (((1,), (0,)), ((), ()))
+    acc_ref[...] += (
+        jax.lax.dot_general(xlo_ref[...], wlo, dn,
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(xhi_ref[...], whi, dn,
+                              preferred_element_type=jnp.float32))
+
+    @pl.when(k == nk - 1)
+    def _emit():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _kernel_prefill_a8(xlo_ref, xhi_ref, p_ref, r_ref, s8_ref, xs_ref,
+                       o_ref, acc_ref, *, g: int, nk: int, bkp: int):
+    k = pl.program_id(2)
+    sg = bkp // g
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    p32 = p_ref[...].astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(p32, 28), 28).astype(jnp.float32)
+    hi = jnp.right_shift(p32, 4).astype(jnp.float32)
+    bn = p_ref.shape[1]
+    # requantize to per-column int8 in VMEM (r = s_group / s8_col, so
+    # |q4 * r| <= 7 * s_max/s8 = 127 by construction)
+    q8lo = jnp.round(
+        lo * _row_scales(r_ref[pl.ds(k * sg, sg), :], g, bn)
+    ).astype(jnp.int8)
+    q8hi = jnp.round(
+        hi * _row_scales(r_ref[pl.ds((nk + k) * sg, sg), :], g, bn)
+    ).astype(jnp.int8)
+    dn = (((1,), (0,)), ((), ()))
+    acc_ref[...] += (
+        jax.lax.dot_general(xlo_ref[...], q8lo, dn,
+                            preferred_element_type=jnp.int32)
+        + jax.lax.dot_general(xhi_ref[...], q8hi, dn,
+                              preferred_element_type=jnp.int32))
+
+    @pl.when(k == nk - 1)
+    def _emit():
+        o_ref[...] = (acc_ref[...].astype(jnp.float32)
+                      * xs_ref[:, 0:1] * s8_ref[0:1, :]).astype(o_ref.dtype)
+
+
+def _prefill_tiles(kdim: int, n: int, g: int):
+    """(bkp, bn) for the prefill kernel, or None where no tiling fits.
+    Adaptive so the ViT shapes (K=1280, N=3840/3456) get the kernel too."""
+    bkp = next((b for b in (_BKP, 128, 64) if (kdim // 2) % b == 0 and
+                b % g == 0), None)
+    bn = next((b for b in (_BN, 256, 128) if n % b == 0), None)
+    return (bkp, bn) if bkp and bn else None
+
+
+def prefill_applicable(m: int, kdim: int, n: int, g: int) -> bool:
+    """Static gate for the prefill kernels (M above the decode kernel's
+    range; shapes tileable)."""
+    return (m > _M_MAX and g >= 64 and kdim % (2 * g) == 0
+            and _prefill_tiles(kdim, n, g) is not None)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "a8", "interpret"))
+def matmul_int4_prefill(x, packed, scales, out_dtype=jnp.bfloat16,
+                        a8: bool = False, interpret: bool = False):
+    """x [..., K] @ int4-packed [K/2, N] for prefill M (tiled over rows).
+
+    a8=False: weight-only (W4A16) — dequant in VMEM, bf16 dots.
+    a8=True: W4A8 — per-row dynamic int8 activations against in-VMEM
+    requantized int8 weights on the native int8 MXU mode.
+    Caller must have checked `prefill_applicable`.
+    """
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    N = packed.shape[-1]
+    g = K // scales.shape[-2]
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+    assert prefill_applicable(M, K, N, g), (M, K, N, g)
+    bkp, bn = _prefill_tiles(K, N, g)
+
+    bm = _BM if M >= _BM else -(-M // 32) * 32  # int8 sublane tile = 32
+    Mp = -(-M // bm) * bm
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+
+    kp = K // 2
+    nm, nk, nn = Mp // bm, kp // bkp, N // bn
+    n_scale_rows = K // g
+
+    common = dict(
+        grid=(nm, nn, nk),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+    x_specs = [
+        pl.BlockSpec((bm, bkp), lambda i, j, k: (i, k)),
+        pl.BlockSpec((bm, bkp), lambda i, j, k, _nk=nk: (i, _nk + k)),
+    ]
+    w_spec = pl.BlockSpec((bkp, bn), lambda i, j, k: (k, j))
+    s_spec = pl.BlockSpec((n_scale_rows, bn), lambda i, j, k: (0, j))
+
+    if not a8:
+        out = pl.pallas_call(
+            functools.partial(_kernel_prefill_a16, g=g, nk=nk, bkp=bkp),
+            in_specs=x_specs + [w_spec, s_spec],
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            **common,
+        )(x2, x2, packed, scales)
+        return out[:M].reshape(lead + (N,))
+
+    # dynamic per-row activation int8 (same recipe as quantization.matmul_w8a8)
+    xf = x2.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xs = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    # per-column int8 weight scale + requant ratios (tiny, O(K/g * N))
+    s8 = jnp.maximum(jnp.max(scales, axis=-2, keepdims=True), 1e-12) * (7.0 / 127.0)
+    r = scales / s8
+    xs_in = jnp.broadcast_to(xs, (Mp, 128))
+    s8_in = jnp.broadcast_to(s8, (8, N))
+    out = pl.pallas_call(
+        functools.partial(_kernel_prefill_a8, g=g, nk=nk, bkp=bkp),
+        in_specs=x_specs + [
+            w_spec, s_spec,
+            pl.BlockSpec((8, bn), lambda i, j, k: (0, j)),
+            pl.BlockSpec((bm, 128), lambda i, j, k: (i, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        **common,
+    )(xq, xq, packed, r, s8_in, xs_in)
     return out[:M].reshape(lead + (N,))

@@ -210,15 +210,18 @@ def dequant_int4(p: Dict[str, Any], dtype):
     return w.reshape(lead + (fin2 * 2, fout))
 
 
-def matmul_int4_auto(x, p: Dict[str, Any], dtype):
+def matmul_int4_auto(x, p: Dict[str, Any], dtype, a8: bool = False):
     """x [..., K] @ int4 weights -> [..., N], picking the implementation:
 
     - small M (decode/sampling) on TPU: the fused Pallas kernel — XLA
       cannot fuse the nibble unpack into a dot operand and materializes the
       full bf16 kernel per layer per decode step (185 ms/step measured at
       7B vs 10.7 int8; docs/ROUND4.md §6);
-    - everything else (prefill, CPU): dequant + matmul — compute-bound at
-      large M, where the dequant cost is amortized.
+    - large M (prefill) on TPU: the tiled prefill kernel — W4A16 (in-VMEM
+      dequant, bf16 dots) or, with a8=True, W4A8 (in-VMEM requant to
+      per-column int8 + native int8 MXU dots), killing the XLA dequant
+      chain's per-row penalty (VERDICT r4 #3);
+    - everything else (CPU, unaligned shapes): dequant + matmul.
 
     x must already be cast to the compute dtype.
     """
@@ -226,6 +229,8 @@ def matmul_int4_auto(x, p: Dict[str, Any], dtype):
         INT4_MATMUL_IMPL,
         kernel_applicable,
         matmul_int4,
+        matmul_int4_prefill,
+        prefill_applicable,
     )
 
     packed, scale = p["kernel_q4"], p["kernel_scale4"]
@@ -237,11 +242,15 @@ def matmul_int4_auto(x, p: Dict[str, Any], dtype):
             m *= int(d)
         on_tpu = jax.default_backend() == "tpu"
         impl = INT4_MATMUL_IMPL
-        if kernel_applicable(m, K, N, g) and (
-            impl == "pallas_interpret" or (impl in ("auto", "pallas") and on_tpu)
-        ):
+        use_pallas = (impl == "pallas_interpret"
+                      or (impl in ("auto", "pallas") and on_tpu))
+        if kernel_applicable(m, K, N, g) and use_pallas:
             return matmul_int4(x, packed, scale, out_dtype=dtype,
                                interpret=impl == "pallas_interpret")
+        if prefill_applicable(m, K, N, g) and use_pallas:
+            return matmul_int4_prefill(
+                x, packed, scale, out_dtype=dtype, a8=a8,
+                interpret=impl == "pallas_interpret")
     return x @ dequant_int4(p, dtype)
 
 
@@ -344,7 +353,9 @@ def quantized_config(cfg, mode: str = "int8", act_quant: str = "none",
         return bool(flag)
 
     if act_quant in ("int8", "prefill"):
-        assert mode == "int8", "act_quant requires int8 weights"
+        # int8 weights ride matmul_w8a8; int4 weights ride the W4A8
+        # prefill kernel (ops/pallas/int4_matmul.matmul_int4_prefill)
+        assert mode in ("int8", "int4"), "act_quant requires quantized weights"
     elif act_quant != "none":
         raise ValueError(f"act_quant must be none/int8/prefill, got {act_quant!r}")
     towers = {}

@@ -76,14 +76,11 @@ def run_point(B, kv, weights, n_dec, rows_u, timeout_s):
         }
     d = json.loads(line)
     det = d.get("detail", {})
-    # bench.py's continuous mode steps DOWN on OOM — record the B actually
-    # served so an OOM fallback can't masquerade as the requested point
-    import re
-
-    m = re.search(r"pruned B=(\d+)", det.get("protocol", ""))
-    b_actual = int(m.group(1)) if m else None
+    # bench.py's continuous mode steps each side DOWN on OOM — record the B
+    # actually served so a fallback can't masquerade as the requested point
     return {
-        "B": B, "B_actual": b_actual, "kv": kv, "weights": weights,
+        "B": B, "B_actual": det.get("pruned_batch"),
+        "B_u_actual": det.get("unpruned_batch"), "kv": kv, "weights": weights,
         "tok_s": d["value"],
         "vs_unpruned": d["vs_baseline"],
         "ttft_mean_s": det.get("pruned_ttft", {}).get("mean_s"),
