@@ -968,8 +968,40 @@ def main():
         }))
         return
     if mode == "serving":
+        # VERDICT r4 #7: re-measure the 16k-token 7B train step every round
+        # (driver-visible in BENCH detail instead of builder-trusted).
+        # Runs FIRST in its own bounded subprocess so the chip is exclusive
+        # (serving params aren't resident yet) and a hang can't kill the
+        # serving headline. Opt out with BENCH_TRAIN_ROW=0.
+        train_row = None
+        if (os.environ.get("BENCH_TRAIN_ROW", "1") != "0"
+                and scale == "7b"
+                and os.environ.get("BENCH_QUANT") == "int8"):
+            import subprocess
+
+            here = os.path.dirname(os.path.abspath(__file__))
+            try:
+                p = subprocess.run(
+                    [sys.executable, os.path.join(here, "tools",
+                                                  "profile_train_step.py"),
+                     "--scale", "7b", "--quant", "int8", "--img-side",
+                     "3584", "--steps", "3", "--json"],
+                    cwd=here, stdout=subprocess.PIPE, text=True, timeout=900)
+                line = (p.stdout.strip().splitlines() or [""])[-1]
+                if p.returncode == 0 and line.startswith("{"):
+                    train_row = json.loads(line)
+                else:
+                    sys.stderr.write(
+                        f"train-step row failed (rc={p.returncode}); "
+                        "serving continues without it\n")
+            except subprocess.TimeoutExpired:
+                sys.stderr.write("train-step row timed out (900s); "
+                                 "serving continues without it\n")
         try:
-            print(json.dumps(run_serving(scale)))
+            result = run_serving(scale)
+            if train_row is not None:
+                result["detail"]["gp_train_step_s_16k_7b_int8"] = train_row
+            print(json.dumps(result))
             return
         except Exception as e:
             import gc

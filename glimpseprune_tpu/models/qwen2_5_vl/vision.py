@@ -60,8 +60,10 @@ def _dense(x, p, dtype, a8: bool = False):
         # only this layer's bf16 kernel materializes inside the scan
         w = p["kernel_q"].astype(dtype) * p["kernel_scale"].astype(dtype)
     elif "kernel_q4" in p:
-        # 4-bit tier: two nibbles per int8 byte + group-64 scales; large-M
-        # shapes route to the fused prefill kernel (W4A8 under a8)
+        # 4-bit tier: two nibbles per int8 byte + group-64 scales; under a8
+        # the merger's decoder-sized shapes route to the W4A8 prefill
+        # kernel, block shapes (K=1280) keep the XLA dequant path (faster
+        # there — chip-measured, docs/ROUND5.md)
         from glimpseprune_tpu.quantization import matmul_int4_auto
 
         y = matmul_int4_auto(x.astype(dtype), p, dtype,

@@ -175,11 +175,17 @@ def matmul_int4(x, packed, scales, out_dtype=jnp.bfloat16,
 # ---------------------------------------------------------------------------
 
 
-def _row_scales(s_rows, g: int, bn: int):
-    # [sg, bn] group-scale rows -> [sg*g, bn] (each row repeated g times)
-    sg = s_rows.shape[0]
-    return jax.lax.broadcast_in_dim(
-        s_rows, (sg, g, bn), (0, 2)).reshape(sg * g, bn)
+def _row_scales(s_ref, row0, sg: int, g: int, bn: int):
+    """[sg*g, bn] scale expansion for one k-tile: sg single-row dynamic
+    slices of the whole-dim scale block (the decode kernel's Mosaic-proven
+    access pattern — a multi-row pl.ds at offset k*sg fails the
+    sublane-multiple-of-8 proof), each broadcast g rows, statically
+    concatenated."""
+    parts = [
+        jnp.broadcast_to(s_ref[pl.ds(row0 + gi, 1), :], (g, bn))
+        for gi in range(sg)
+    ]
+    return parts[0] if sg == 1 else jnp.concatenate(parts, axis=0)
 
 
 def _kernel_prefill_a16(xlo_ref, xhi_ref, p_ref, s_ref, o_ref, acc_ref,
@@ -195,9 +201,8 @@ def _kernel_prefill_a16(xlo_ref, xhi_ref, p_ref, s_ref, o_ref, acc_ref,
     lo = jnp.right_shift(jnp.left_shift(p32, 28), 28).astype(jnp.float32)
     hi = jnp.right_shift(p32, 4).astype(jnp.float32)
     bn = p_ref.shape[1]
-    wlo = (lo * _row_scales(s_ref[pl.ds(k * sg, sg), :], g, bn)
-           ).astype(xlo_ref.dtype)
-    whi = (hi * _row_scales(s_ref[pl.ds((nk + k) * sg, sg), :], g, bn)
+    wlo = (lo * _row_scales(s_ref, k * sg, sg, g, bn)).astype(xlo_ref.dtype)
+    whi = (hi * _row_scales(s_ref, (nk + k) * sg, sg, g, bn)
            ).astype(xhi_ref.dtype)
     dn = (((1,), (0,)), ((), ()))
     acc_ref[...] += (
@@ -227,11 +232,9 @@ def _kernel_prefill_a8(xlo_ref, xhi_ref, p_ref, r_ref, s8_ref, xs_ref,
     # requantize to per-column int8 in VMEM (r = s_group / s8_col, so
     # |q4 * r| <= 7 * s_max/s8 = 127 by construction)
     q8lo = jnp.round(
-        lo * _row_scales(r_ref[pl.ds(k * sg, sg), :], g, bn)
-    ).astype(jnp.int8)
+        lo * _row_scales(r_ref, k * sg, sg, g, bn)).astype(jnp.int8)
     q8hi = jnp.round(
-        hi * _row_scales(r_ref[pl.ds((nk + k) * sg, sg), :], g, bn)
-    ).astype(jnp.int8)
+        hi * _row_scales(r_ref, (nk + k) * sg, sg, g, bn)).astype(jnp.int8)
     dn = (((1,), (0,)), ((), ()))
     acc_ref[...] += (
         jax.lax.dot_general(xlo_ref[...], q8lo, dn,
@@ -247,7 +250,8 @@ def _kernel_prefill_a8(xlo_ref, xhi_ref, p_ref, r_ref, s8_ref, xs_ref,
 
 def _prefill_tiles(kdim: int, n: int, g: int):
     """(bkp, bn) for the prefill kernel, or None where no tiling fits.
-    Adaptive so the ViT shapes (K=1280, N=3840/3456) get the kernel too."""
+    Adaptive so the ViT shapes (K=1280, N=3840/3456) compile too (benches);
+    routing only sends bkp=256 shapes here — see prefill_routable."""
     bkp = next((b for b in (_BKP, 128, 64) if (kdim // 2) % b == 0 and
                 b % g == 0), None)
     bn = next((b for b in (_BN, 256, 128) if n % b == 0), None)
@@ -259,6 +263,20 @@ def prefill_applicable(m: int, kdim: int, n: int, g: int) -> bool:
     range; shapes tileable)."""
     return (m > _M_MAX and g >= 64 and kdim % (2 * g) == 0
             and _prefill_tiles(kdim, n, g) is not None)
+
+
+def prefill_routable(m: int, kdim: int, n: int, g: int, a8: bool) -> bool:
+    """Should _dense route this matmul to the Pallas prefill kernel?
+
+    Chip-measured (docs/ROUND5.md §int4): W4A8 beats the XLA dequant path
+    on the 7B decoder shapes (162/224/203 vs 141/175/180 TF/s at M=16384)
+    but W4A16 loses everywhere (XLA amortizes the dequant at large M), and
+    the ViT's K=1280 shapes lose in-kernel at every tier (bkp=128 k-tiles:
+    86 vs 147 TF/s) — so only a8 with full 256-wide packed k-tiles routes
+    here; everything else keeps the XLA dequant path."""
+    if not (a8 and prefill_applicable(m, kdim, n, g)):
+        return False
+    return _prefill_tiles(kdim, n, g)[0] == _BKP
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "a8", "interpret"))

@@ -217,11 +217,13 @@ def matmul_int4_auto(x, p: Dict[str, Any], dtype, a8: bool = False):
       cannot fuse the nibble unpack into a dot operand and materializes the
       full bf16 kernel per layer per decode step (185 ms/step measured at
       7B vs 10.7 int8; docs/ROUND4.md §6);
-    - large M (prefill) on TPU: the tiled prefill kernel — W4A16 (in-VMEM
-      dequant, bf16 dots) or, with a8=True, W4A8 (in-VMEM requant to
-      per-column int8 + native int8 MXU dots), killing the XLA dequant
-      chain's per-row penalty (VERDICT r4 #3);
-    - everything else (CPU, unaligned shapes): dequant + matmul.
+    - large M (prefill) on TPU with a8=True and decoder-sized k-tiles: the
+      W4A8 prefill kernel — in-VMEM requant to per-column int8 + native
+      int8 MXU dots (VERDICT r4 #3; chip-measured 162/224/203 TF/s vs the
+      dequant path's 141/175/180 at the 7B shapes);
+    - everything else (CPU, W4A16 prefill, ViT shapes, unaligned shapes):
+      dequant + matmul — XLA amortizes the dequant fine at large M (the
+      Pallas W4A16 variant measured SLOWER than this path, ROUND5.md).
 
     x must already be cast to the compute dtype.
     """
@@ -230,7 +232,7 @@ def matmul_int4_auto(x, p: Dict[str, Any], dtype, a8: bool = False):
         kernel_applicable,
         matmul_int4,
         matmul_int4_prefill,
-        prefill_applicable,
+        prefill_routable,
     )
 
     packed, scale = p["kernel_q4"], p["kernel_scale4"]
@@ -247,9 +249,9 @@ def matmul_int4_auto(x, p: Dict[str, Any], dtype, a8: bool = False):
         if kernel_applicable(m, K, N, g) and use_pallas:
             return matmul_int4(x, packed, scale, out_dtype=dtype,
                                interpret=impl == "pallas_interpret")
-        if prefill_applicable(m, K, N, g) and use_pallas:
+        if prefill_routable(m, K, N, g, a8) and use_pallas:
             return matmul_int4_prefill(
-                x, packed, scale, out_dtype=dtype, a8=a8,
+                x, packed, scale, out_dtype=dtype, a8=True,
                 interpret=impl == "pallas_interpret")
     return x @ dequant_int4(p, dtype)
 

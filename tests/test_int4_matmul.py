@@ -172,7 +172,8 @@ def test_prefill_a8_matches_emulation():
 
 
 def test_auto_routing_prefill():
-    """Large-M matmul_int4_auto routes to the prefill kernel; a8 composes."""
+    """Large-M a8 routes to the W4A8 prefill kernel; a16 prefill stays on
+    the XLA dequant path (chip-measured faster there, ROUND5.md)."""
     import glimpseprune_tpu.ops.pallas.int4_matmul as m4
 
     K, N = 512, 512
@@ -192,3 +193,15 @@ def test_auto_routing_prefill():
                                    rtol=2e-4, atol=2e-4)
     finally:
         m4.INT4_MATMUL_IMPL = old
+
+
+def test_prefill_routable_policy():
+    """The measured routing policy: a8-only, 256-wide packed k-tiles only."""
+    from glimpseprune_tpu.ops.pallas.int4_matmul import prefill_routable
+
+    assert prefill_routable(16384, 3584, 18944, 64, True)    # 7B mlp
+    assert prefill_routable(512, 3584, 152064, 64, True)     # chunked head
+    assert prefill_routable(16384, 5120, 3584, 64, True)     # ViT merger
+    assert not prefill_routable(16384, 3584, 18944, 64, False)  # a16 -> XLA
+    assert not prefill_routable(65536, 1280, 3840, 64, True)    # ViT qkv
+    assert not prefill_routable(128, 3584, 18944, 64, True)     # decode M

@@ -35,6 +35,10 @@ def main():
                          "training cap (train_qwen_gp.py:1645-1648)")
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--json", action="store_true",
+                    help="emit one machine-readable JSON line at the end "
+                         "(bench.py embeds it in the serving detail so the "
+                         "driver re-measures the train step every round)")
     args = ap.parse_args()
 
     from glimpseprune_tpu.utils.platform import honor_platform_env
@@ -177,6 +181,20 @@ def main():
     steady = times[1:] or times
     print(f"steady step: {min(steady):.3f}s (median {sorted(steady)[len(steady)//2]:.3f}s, "
           f"rtt {rtt * 1e3:.0f}ms subtracted) at {n_img_tokens} visual tokens")
+    if args.json:
+        import json
+
+        gb = 1024 ** 3
+        print(json.dumps({
+            "train_step_s": round(min(steady), 3),
+            "train_step_median_s": round(sorted(steady)[len(steady) // 2], 3),
+            "n_visual_tokens": n_img_tokens,
+            "seq": int(prep.input_ids.shape[1]),
+            "scale": args.scale,
+            "quant": args.quant,
+            "temp_gb": round(mem.temp_size_in_bytes / gb, 2) if mem else None,
+            "args_gb": round(mem.argument_size_in_bytes / gb, 2) if mem else None,
+        }))
 
 
 if __name__ == "__main__":
