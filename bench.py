@@ -931,8 +931,25 @@ def main():
         rows_p0 = int(os.environ.get("BENCH_SERVE_ROWS_P", "8"))
         rows_u0 = int(os.environ.get("BENCH_SERVE_ROWS_U", "7"))
         pr = side_ladder("pruned", dedup([rows_p0, rows_p0 // 2, 4]))
-        un = side_ladder("unpruned",
-                         dedup([rows_u0, rows_u0 - 2, rows_u0 // 2, 3, 2]))
+        # The unpruned side is independent of the pruned B: a frontier
+        # ladder sweeping pruned B within one (kv, weights) tier may cache
+        # its row (the 16k-context batcher compile alone is ~13 min) via
+        # BENCH_CONT_UNPRUNED_CACHE=<json path>. The reused row is marked
+        # in detail.unpruned_reused.
+        un_cache = os.environ.get("BENCH_CONT_UNPRUNED_CACHE")
+        un = None
+        if un_cache and os.path.exists(un_cache):
+            with open(un_cache) as f:
+                un = json.load(f)
+            if un.get("quant") != pr["quant"] or un.get("n_decode") != pr["n_decode"]:
+                un = None  # stale cache from another tier — remeasure
+        un_reused = un is not None
+        if un is None:
+            un = side_ladder("unpruned",
+                             dedup([rows_u0, rows_u0 - 2, rows_u0 // 2, 3, 2]))
+            if un_cache:
+                with open(un_cache, "w") as f:
+                    json.dump(un, f)
         suffix = (f"_{scale}" + (f"_{pr['quant']}" if pr["quant"] else "")
                   + ("_w8a8" if pr["act_quant"] != "none" else ""))
         print(json.dumps({
@@ -958,6 +975,7 @@ def main():
                 "unpruned_ttft": un["ttft"],
                 "pruned_completion": pr["completion"],
                 "unpruned_completion": un["completion"],
+                "unpruned_reused": un_reused,
                 "inter_steps": pr["inter_steps"],
                 "n_image_tokens": pr["n_image_tokens"],
                 "n_decode": pr["n_decode"],

@@ -43,10 +43,14 @@ def run_point(B, kv, weights, n_dec, rows_u, timeout_s):
         BENCH_SERVE_ROWS_P=str(B),
         BENCH_SERVE_ROWS_U=str(rows_u),
         BENCH_DECODE=str(n_dec),
+        # the unpruned side is independent of pruned B: measure it once per
+        # (kv, weights) tier and reuse (its 16k batcher compile is ~13 min)
+        BENCH_CONT_UNPRUNED_CACHE=f"/tmp/frontier_unpruned_{kv}_{weights}.json",
     )
-    # int8 weights ride the measured W8A8 prefill tier (bench default);
-    # int4 has no W8A8 kernels — weight-only dequant path
-    env.setdefault("BENCH_ACT_QUANT", "prefill" if weights == "int8" else "none")
+    # int8 rides the measured W8A8 prefill tier; int4 rides the W4A8
+    # prefill kernel where the per-shape routing policy measured it faster
+    # (ROUND5.md §3) — both are the tiers bench.py ships by default
+    env.setdefault("BENCH_ACT_QUANT", "prefill")
     t0 = time.time()
     # stream output to a per-point log (a timeout with capture_output
     # destroys all evidence of where the point's time went — learned r4)
@@ -88,6 +92,7 @@ def run_point(B, kv, weights, n_dec, rows_u, timeout_s):
         "unpruned_tok_s": det.get("unpruned_tok_s"),
         "unpruned_ttft_mean_s": det.get("unpruned_ttft", {}).get("mean_s"),
         "pruned_wall_s": det.get("pruned_wall_s"),
+        "unpruned_reused": det.get("unpruned_reused"),
         "n_decode": det.get("n_decode"),
         "act_quant": det.get("act_quant"),
         "wall_s": round(time.time() - t0, 1),
