@@ -22,6 +22,7 @@ def _free_port() -> int:
 def test_two_process_contracts(tmp_path):
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     coord = f"localhost:{_free_port()}"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env.update({
         "JAX_PLATFORMS": "cpu",
@@ -29,6 +30,9 @@ def test_two_process_contracts(tmp_path):
         # workers must not inherit the suite's 8-device virtual mesh flag:
         # distributed init wants the default topology
         "XLA_FLAGS": "",
+        # workers run with cwd=tests/ — the package must resolve even when
+        # glimpseprune_tpu isn't pip-installed on the machine
+        "PYTHONPATH": repo_root + os.pathsep + env.get("PYTHONPATH", ""),
     })
     procs = [
         subprocess.Popen(
