@@ -196,6 +196,33 @@ def test_fused_window_attention_matches_unfused():
     np.testing.assert_allclose(got[vm], ref[vm], rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("nw", [16, 13, 3])
+def test_fused_window_attention_merged_groups_match(nw):
+    """wins_per_step > 1 (several windows per grid step, block-diagonal
+    mask; r5 chip sweep) is bit-identical to the one-window-per-step
+    kernel, including window counts that pad up to the group size and
+    counts below it (W clamps to nw)."""
+    import numpy as np
+
+    from glimpseprune_tpu.ops.pallas.window_attention import (
+        window_attention_fused,
+    )
+    from glimpseprune_tpu.ops.rope import vision_rope_cos_sin
+
+    rng = np.random.default_rng(1)
+    wp, H, D = 64, 4, 80
+    P = nw * wp
+    qkv = jnp.asarray(rng.normal(size=(P, 3, H, D)).astype(np.float32))
+    pos = jnp.asarray(rng.integers(0, 31, (P, 2)).astype(np.int32))
+    cos, sin = vision_rope_cos_sin(pos, D)
+    valid = jnp.asarray(rng.random(P) > 0.1)
+    one = window_attention_fused(qkv, cos, sin, valid, wp, interpret=True,
+                                 wins_per_step=1)
+    grp = window_attention_fused(qkv, cos, sin, valid, wp, interpret=True,
+                                 wins_per_step=8)
+    np.testing.assert_array_equal(np.asarray(one), np.asarray(grp))
+
+
 def test_fuser_cond_attention_flash_matches_dense():
     """CondSdpaAttention's flash path (streams the [N, N] scores — the dense
     f32 matrix is 4 GB/row at 16k tokens) == the dense XLA path on valid
